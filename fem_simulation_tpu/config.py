@@ -1,0 +1,98 @@
+"""Configuration dataclasses for fem_simulation_tpu.
+
+The reference hardcodes all constants in ``Object.__init__`` (see
+/root/reference/exp1/quasi_simulation/object.py:24-25,743-748 — control_mag=100,
+spd_value=1e-3, LameMu=250, LameLa=0, g=-9.8/2) plus one constants file for exp3
+(exp3/simulation/hyperparameters.py). Here everything is a real config object.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialConfig:
+    """StVK material + attachment constants.
+
+    Defaults mirror the reference setup (object.py:743-748, :24-25).
+    """
+    lame_mu: float = 250.0
+    lame_la: float = 0.0
+    gravity: float = -9.8 / 2.0   # applied along +y (signed)
+    density: float = 1.0          # lumped mass = density * volume
+    control_mag: float = 100.0    # pin (attachment) spring stiffness
+    spd_eps: float = 1e-3         # eigenvalue clamp for SPD projection
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Solver / multigrid parameters."""
+    n_levels: Optional[int] = None   # None => derived from bbox like reference object.py:139-143
+    max_levels: int = 3
+    gs_iterations: int = 3           # smoother sweeps inside a V-cycle level
+    cg_iterations: int = 5
+    cg_tol: float = 1e-5
+    coarse_cg_iterations: int = 10
+    jacobi_iterations: int = 1
+    newton_tol_inf: float = 1e-4     # driver metric tolerance on ||f||_inf
+
+
+@dataclasses.dataclass(frozen=True)
+class DynamicsConfig:
+    """Implicit-Euler time stepping constants (exp1/simulation/object.py:26-28)."""
+    dt: float = 0.033
+    damping: float = 0.9995
+
+
+@dataclasses.dataclass(frozen=True)
+class ClothConfig:
+    """Mass-spring cloth constants (exp1/cloth_simulation/object.py:21-32)."""
+    res_x: int = 64
+    res_y: int = 64
+    k: float = 1000.0
+    dt: float = 0.0033
+    damping: float = 0.9995
+    control_mag: float = 10.0
+    size: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    """Mesh ingestion parameters."""
+    mesh_path: Optional[str] = None
+    dx: float = 0.05
+    pins: Sequence[int] = ()         # empty => pin the top slab like the reference
+    # procedural beam fallback when mesh_path is None
+    beam_shape: tuple = (8, 8, 24)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainInterpConfig:
+    """exp2: interpolation-matrix training (exp2/P/quasi_simulation/object.py:1198-1287)."""
+    lr: float = 1e-3
+    iterations: int = 100
+    perturb: float = 1e-3
+    row_norm_weight: float = 1.0
+    mode: str = "P"                  # "P" (residual-side) or "p_hat" (position-side)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSolverConfig:
+    """exp3 hyperparameters (exp3/simulation/hyperparameters.py:1-6)."""
+    feat_dim: int = 4
+    hidden_channels: int = 64
+    frames: int = 30
+    train_times: int = 20000
+    epochs: int = 1
+    n_iters: int = 5
+    success_threshold: float = 2e-6
+    lr: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    material: MaterialConfig = dataclasses.field(default_factory=MaterialConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    dynamics: DynamicsConfig = dataclasses.field(default_factory=DynamicsConfig)
+    scene: SceneConfig = dataclasses.field(default_factory=SceneConfig)

@@ -1,0 +1,59 @@
+"""Device-resident conjugate gradient on block-ELL operators.
+
+The reference CG (/root/reference/exp1/quasi_simulation/object.py:931-1019)
+reads two scalars back to the host EVERY iteration (`.numpy()[0]` at :942,
+:961, :971) and drives the loop in Python. Here the whole solve is a single
+`lax.while_loop` with the convergence test on device scalars — zero host
+round-trips, jit-fusable into the surrounding Newton step.
+
+Semantics match the reference: relative tolerance on ||r||^2 against the
+initial residual, early exit when p.Ap < 1e-10, fixed max iterations;
+`init_x` reproduces PerformConjugateGradient_WithInitX (object.py:975-1019).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ell
+
+EPSILON = 1e-7  # reference object.py:18
+
+
+def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
+    """Solve A x = b. Returns x after at most `iterations` steps."""
+    full_vals = values * op.mask[..., None, None]
+
+    def matvec(v):
+        return ell.spmv(full_vals, op.nbr, op.mask, v)
+
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - matvec(x0)
+
+    rs0 = ell.vdot(r, r)
+
+    def cond(carry):
+        x, r, p, rs, k, alive = carry
+        return alive & (k <= iterations) & (rs > tol * rs0) & (rs0 > EPSILON)
+
+    def body(carry):
+        x, r, p, rs, k, alive = carry
+        p = jnp.where(k > 1, p, r)  # first iteration: p = r
+        ap = matvec(p)
+        pap = ell.vdot(p, ap)
+        ok = pap >= 1e-10
+        alpha = jnp.where(ok, rs / jnp.where(ok, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = ell.vdot(r, r)
+        beta = rs_new / rs
+        p = r + beta * p
+        return (x, r, p, rs_new, k + 1, alive & ok)
+
+    carry = (x, r, r, rs0, jnp.int32(1), jnp.bool_(True))
+    x, r, p, rs, k, alive = jax.lax.while_loop(cond, body, carry)
+    return x

@@ -1,0 +1,108 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.ops import elastic
+
+MU, LA = 250.0, 10.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = meshlib.beam(2, 2, 3, dx=0.1)
+    x0 = jnp.asarray(m.x)
+    hexes = jnp.asarray(m.hexes)
+    det, g, vol = elastic.prepare(x0, hexes)
+    rng = np.random.default_rng(0)
+    x = x0 + 0.02 * jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    return m, x0, hexes, det, g, vol, x
+
+
+def test_prepare_lattice(setup):
+    m, x0, hexes, det, g, vol, x = setup
+    # On a perfect lattice, J = dx/2 * I at every quad point.
+    np.testing.assert_allclose(det, (0.05) ** 3, rtol=1e-4)
+    np.testing.assert_allclose(vol, 8 * (0.05) ** 3, rtol=1e-4)
+
+
+def test_rest_state_zero(setup):
+    m, x0, hexes, det, g, vol, x = setup
+    e = elastic.energy(x0, hexes, det, g, MU, LA)
+    f = elastic.force(x0, hexes, det, g, MU, LA, m.n_verts)
+    assert abs(float(e)) < 1e-8
+    assert float(jnp.max(jnp.abs(f))) < 1e-5
+
+
+def test_force_is_minus_grad_energy(setup):
+    m, x0, hexes, det, g, vol, x = setup
+    grad = jax.grad(lambda xx: elastic.energy(xx, hexes, det, g, MU, LA))(x)
+    f = elastic.force(x, hexes, det, g, MU, LA, m.n_verts)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(grad), rtol=2e-4, atol=1e-5)
+
+
+def test_hessian_matches_autodiff(setup):
+    """Closed-form blocks == jacobian of the energy gradient."""
+    m, x0, hexes, det, g, vol, x = setup
+    H_blocks = elastic.hessian_blocks(x, hexes, det, g, MU, LA)  # (H,8,8,3,3)
+
+    def elem_grad(xe, h):
+        # gradient of element energy wrt its 8 corners
+        def ee(xe_):
+            F = jnp.einsum("ir,qic->qrc", xe_, g[h])
+            E = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - jnp.eye(3))
+            trE = jnp.trace(E, axis1=-2, axis2=-1)
+            psi = MU * jnp.sum(E * E, axis=(-2, -1)) + 0.5 * LA * trE ** 2
+            return jnp.sum(psi * det[h])
+        return jax.grad(ee)(xe)
+
+    for h in [0, 5, 11]:
+        xe = x[hexes[h]]
+        J = jax.jacfwd(lambda xe_: elem_grad(xe_, h))(xe)   # (8,3,8,3)
+        ref = np.transpose(np.asarray(J), (0, 2, 1, 3))      # (8a,8b,3j,3i)
+        np.testing.assert_allclose(np.asarray(H_blocks[h]), ref, rtol=5e-3, atol=5e-4)
+
+
+def test_hessian_symmetry(setup):
+    m, x0, hexes, det, g, vol, x = setup
+    H = np.asarray(elastic.hessian_blocks(x, hexes, det, g, MU, LA))
+    HT = np.transpose(H, (0, 2, 1, 4, 3))
+    np.testing.assert_allclose(H, HT, rtol=1e-4, atol=1e-5)
+
+
+def test_assemble_matches_dense(setup):
+    from fem_simulation_tpu import hierarchy as hl
+    m, x0, hexes, det, g, vol, x = setup
+    lvl = hl.build_level_topology(m.x, m.ijk, m.hexes, m.dx)
+    det2, g2, _ = elastic.prepare(jnp.asarray(lvl.x0), jnp.asarray(lvl.hexes))
+    xs = jnp.asarray(lvl.x0) + 0.01
+    xs = xs.at[0, 1].add(0.03)
+    vals = elastic.assemble_hessian_ell(
+        xs, jnp.asarray(lvl.hexes), det2, g2, MU, LA,
+        jnp.asarray(lvl.hex_slot.reshape(-1)), lvl.n_verts, lvl.K)
+    H = elastic.hessian_blocks(xs, jnp.asarray(lvl.hexes), det2, g2, MU, LA)
+    # dense accumulate
+    N = lvl.n_verts
+    dense = np.zeros((3 * N, 3 * N))
+    Hn = np.asarray(H)
+    for h in range(lvl.n_hexes):
+        for a in range(8):
+            for b in range(8):
+                r, c = lvl.hexes[h, a], lvl.hexes[h, b]
+                dense[3 * r:3 * r + 3, 3 * c:3 * c + 3] += Hn[h, a, b]
+    ell_dense = np.zeros_like(dense)
+    v = np.asarray(vals)
+    for i in range(N):
+        for k in range(lvl.K):
+            if lvl.nbr_mask[i, k]:
+                j = lvl.nbr[i, k]
+                ell_dense[3 * i:3 * i + 3, 3 * j:3 * j + 3] = v[i, k]
+    np.testing.assert_allclose(ell_dense, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_lumped_mass(setup):
+    m, x0, hexes, det, g, vol, x = setup
+    mass = elastic.lumped_mass(vol, hexes, m.n_verts)
+    # total = 8 * sum of volumes (each corner gets the full cell volume)
+    np.testing.assert_allclose(float(mass.sum()), 8 * float(vol.sum()), rtol=1e-5)
