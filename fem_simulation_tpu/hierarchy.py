@@ -133,6 +133,53 @@ def build_level_topology(x0: np.ndarray, ijk: np.ndarray, hexes: np.ndarray,
     return topo
 
 
+def pad_level(topo: LevelTopology, pad_to: int) -> LevelTopology:
+    """Append phantom vertices so n_verts % pad_to == 0.
+
+    Phantom rows have empty matrix rows (mask 0), self-neighbors, zero mass —
+    solvers leave them identically zero. Colors are untouched (phantoms sit
+    past color_offsets[-1], so GS never visits them). Used for TPU tile
+    alignment and for sharding the vertex axis across a device mesh.
+    """
+    n = topo.n_verts
+    n_new = ((n + pad_to - 1) // pad_to) * pad_to
+    if n_new == n:
+        return topo
+    pad = n_new - n
+    ids = np.arange(n, n_new, dtype=np.int32)
+    return dataclasses.replace(
+        topo,
+        n_verts=n_new,
+        x0=np.concatenate([topo.x0, np.zeros((pad, 3), np.float32)]),
+        ijk=np.concatenate([topo.ijk, np.full((pad, 3), -(10 ** 6), topo.ijk.dtype)]),
+        nbr=np.concatenate([topo.nbr, np.tile(ids[:, None], (1, topo.K))]),
+        nbr_mask=np.concatenate([topo.nbr_mask, np.zeros((pad, topo.K), bool)]),
+        diag_slot=np.concatenate([topo.diag_slot, np.zeros(pad, np.int32)]),
+    )
+
+
+def pad_transfer(tr: Transfer, nf_new: int, nc_new: int,
+                 fine_K: int) -> Transfer:
+    """Extend transfer tables for padded fine (nf_new) / coarse (nc_new) sizes.
+
+    Note: g_src/g_dst flat indices stay valid because padding appends whole
+    rows at the end of the row-major (N, K) layouts.
+    """
+    def pad_rows(a, n_new, fill=0):
+        if a.shape[0] == n_new:
+            return a
+        pad = np.full((n_new - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad])
+
+    return dataclasses.replace(
+        tr,
+        p_idx=pad_rows(tr.p_idx, nf_new), p_w=pad_rows(tr.p_w, nf_new),
+        p_w_norm=pad_rows(tr.p_w_norm, nf_new),
+        r_idx=pad_rows(tr.r_idx, nc_new), r_w=pad_rows(tr.r_w, nc_new),
+        r_w_norm=pad_rows(tr.r_w_norm, nc_new),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transfer operators
 # ---------------------------------------------------------------------------
@@ -161,6 +208,13 @@ class Transfer:
     g_src: np.ndarray
     g_dst: np.ndarray
     g_w: np.ndarray
+    # trainable-interpolation support (exp2): one scalar weight per triplet,
+    # with scatter maps into the P-table (Nf*8 flat) and R-table (Nc*Kr flat).
+    t_w: np.ndarray = None        # (M,) classic trilinear weights
+    t_fine_slot: np.ndarray = None   # (M,) flat index into p_w
+    t_coarse_slot: np.ndarray = None  # (M,) flat index into r_w
+    t_rows: np.ndarray = None     # (M,) fine vertex of each triplet
+    t_cols: np.ndarray = None     # (M,) coarse vertex of each triplet
 
 
 def _prolongation_triplets(fine: LevelTopology, coarse: LevelTopology):
@@ -244,6 +298,8 @@ def build_transfer(fine: LevelTopology, coarse: LevelTopology) -> Transfer:
     r_idx[rt, slotc] = ct.astype(np.int32)
     r_w[rt, slotc] = wt.astype(np.float32)
     r_w_norm[rt, slotc] = wnt.astype(np.float32)
+    r_slot_of_entry = np.empty(rows.size, dtype=np.int64)
+    r_slot_of_entry[order_t] = rt * Kr + slotc   # flat R-entry id per triplet
 
     # ---- Galerkin plan: A_c[I, J] += wI * wJ * A[i, j] over fine ELL entries.
     # Fine real entries:
@@ -292,6 +348,10 @@ def build_transfer(fine: LevelTopology, coarse: LevelTopology) -> Transfer:
         r_idx=r_idx, r_w=r_w, r_w_norm=r_w_norm, Kr=Kr,
         g_src=g_src[po].astype(np.int32), g_dst=g_dst[po].astype(np.int32),
         g_w=g_w[po],
+        t_w=ws.astype(np.float32),
+        t_fine_slot=p_slot_of_entry.astype(np.int32),
+        t_coarse_slot=r_slot_of_entry.astype(np.int32),
+        t_rows=rows.astype(np.int32), t_cols=cols.astype(np.int32),
     )
 
 
@@ -336,7 +396,7 @@ def coarsen(level: LevelTopology) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def build_hierarchy(mesh: HexMesh, n_levels: int | None = None,
-                    max_levels: int = 3) -> Hierarchy:
+                    max_levels: int = 3, pad_to: int = 1) -> Hierarchy:
     if n_levels is None:
         n_levels = min(derive_n_levels(mesh), max_levels)
     n_levels = max(1, n_levels)
@@ -355,5 +415,13 @@ def build_hierarchy(mesh: HexMesh, n_levels: int | None = None,
         nxt = build_level_topology(x0, ijk, hexes, levels[-1].dx * 2.0)
         transfers.append(build_transfer(levels[-1], nxt))
         levels.append(nxt)
+
+    if pad_to > 1:
+        levels = [pad_level(l, pad_to) for l in levels]
+        transfers = [
+            pad_transfer(t, levels[i].n_verts, levels[i + 1].n_verts,
+                         levels[i].K)
+            for i, t in enumerate(transfers)
+        ]
     return Hierarchy(levels=levels, transfers=transfers,
                      mesh2idx=mesh2idx, idx2mesh=idx2mesh)

@@ -1,0 +1,168 @@
+"""exp2: optimize the multigrid interpolation matrix by differentiable simulation.
+
+TPU-native redesign of exp2 (/root/reference/exp2/P/quasi_simulation/
+object.py:1198-1287 `train`, :1290-1366 `compare`; exp2/p_hat variant at diff
+lines 1222-1256):
+
+* The reference tapes a 2-level cycle with Warp's adjoint engine (wp.Tape) and
+  hand-written loss kernels (cublas.py:274-309). Here the cycle is an ordinary
+  pure function of the per-triplet scalar weights and `jax.grad` does the rest.
+* Mode "P"     — train the residual-side transfer (restriction of the residual
+  and prolongation of the coarse correction; reference trains Us_hat).
+* Mode "p_hat" — train the position-side restriction that builds the coarse
+  linearization point (reference trains Ut_noOrder).
+* Loss = ||post-cycle fine residual||_inf + row-normalization penalty
+  sum_rows (row_sum - 1)^2 (reference loss_norm, cublas.py:284-293),
+  clamped SGD to [0, 1] (reference Valueaxpy, cublas.py:156-167).
+
+Weights persist via numpy .npz (replacing assets/p/Ut_noOrder_0.pth).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainInterpConfig
+from ..ops import ell, transfer as tops
+from ..sim import quasistatic as qs
+from ..sim.scene import Scene
+from ..solvers import smoothers
+
+
+def tables_from_weights(params_t, w, nf: int, nc: int, Kr: int):
+    """Rebuild the (Nf, 8) P-table and (Nc, Kr) R-table from triplet weights."""
+    p_w = jnp.zeros((nf * 8,), dtype=w.dtype).at[params_t["t_fine_slot"]].set(w)
+    r_w = jnp.zeros((nc * Kr,), dtype=w.dtype).at[params_t["t_coarse_slot"]].set(w)
+    return p_w.reshape(nf, 8), r_w.reshape(nc, Kr)
+
+
+def row_norm_penalty(params_t, w, nc: int):
+    """sum over coarse rows of (sum_j w - 1)^2 (reference loss_norm)."""
+    s = jnp.zeros((nc,), dtype=w.dtype).at[params_t["t_cols"]].add(w)
+    return jnp.sum((s - 1.0) ** 2)
+
+
+def two_level_cycle_residual(scene: Scene, params, w, x, mode: str):
+    """Differentiable 2-level cycle; returns the post-cycle fine residual.
+
+    Mirrors the taped cycle at exp2/P/quasi_simulation/object.py:1250-1264:
+    restrict residual -> coarse re-discretized Hessian at restricted positions
+    -> 1 Jacobi -> prolongate -> apply -> fresh fine residual.
+    """
+    t = params["transfers"][0]
+    nf = scene.level(0).n_verts
+    nc = scene.level(1).n_verts
+    p_w, r_w = tables_from_weights(t, w, nf, nc, t["r_idx"].shape[1])
+
+    # classic tables where the mode does not train them
+    p_res = p_w if mode == "P" else t["p_w"]
+    r_res = r_w if mode == "P" else t["r_w"]
+    if mode == "p_hat":
+        # train the position restriction (normalized rows via penalty)
+        r_pos = r_w
+    else:
+        r_pos = t["r_w_norm"]
+
+    f = qs.total_force(scene, params, x)
+    xc = tops.restrict(t["r_idx"], r_pos, x)
+    valsc = qs.assemble_coarse_rediscretized(scene, params, 1, xc,
+                                             with_fix_diag=True)
+    bc = tops.restrict(t["r_idx"], r_res, f)
+    op1 = scene.make_op(1, params)
+    dxc = smoothers.jacobi(op1, valsc, bc, iterations=1)
+    x_new = x + tops.prolong(t["p_idx"], p_res, dxc)
+    return qs.total_force(scene, params, x_new)
+
+
+def make_loss(scene: Scene, cfg: TrainInterpConfig):
+    nc = scene.level(1).n_verts
+
+    def loss(w, params, x):
+        r = two_level_cycle_residual(scene, params, w, x, cfg.mode)
+        t = params["transfers"][0]
+        return (ell.inf_norm(r)
+                + cfg.row_norm_weight * row_norm_penalty(t, w, nc))
+
+    return loss
+
+
+class InterpTrainer:
+    """Equivalent of exp2's Object.train/save/compare workflow."""
+
+    def __init__(self, scene: Scene, cfg: TrainInterpConfig = TrainInterpConfig()):
+        if scene.n_levels < 2:
+            raise ValueError("interpolation training needs >= 2 levels")
+        self.scene = scene
+        self.cfg = cfg
+        t = scene.params["transfers"][0]
+        self.w = t["t_w"]  # init from classic trilinear weights
+        self._grad = jax.jit(jax.grad(make_loss(scene, cfg)))
+        self._loss = jax.jit(make_loss(scene, cfg))
+
+    def _perturbed_x(self, rng: np.random.Generator):
+        """Random +-perturb of a pinned vertex (reference object.py:1240-1244)."""
+        p0 = self.scene.params["levels"][0]
+        pin_ids = np.nonzero(np.asarray(p0["pin_mask"]) > 0)[0]
+        vid = int(pin_ids[rng.integers(len(pin_ids))])
+        delta = self.cfg.perturb * rng.choice([-1.0, 1.0], size=3)
+        x = np.asarray(self.scene.x0).copy()
+        x[vid] += delta.astype(np.float32)
+        return jnp.asarray(x)
+
+    def train(self, iterations: int | None = None, seed: int = 0):
+        """Clamped-SGD training loop; returns the loss history."""
+        iterations = iterations or self.cfg.iterations
+        rng = np.random.default_rng(seed)
+        hist = []
+        for _ in range(iterations):
+            x = self._perturbed_x(rng)
+            g = self._grad(self.w, self.scene.params, x)
+            self.w = jnp.clip(self.w - self.cfg.lr * g, 0.0, 1.0)
+            hist.append(float(self._loss(self.w, self.scene.params, x)))
+        return np.asarray(hist)
+
+    def save(self, path: str):
+        np.savez(path, w=np.asarray(self.w), mode=self.cfg.mode)
+
+    def load(self, path: str):
+        data = np.load(path, allow_pickle=True)
+        self.w = jnp.asarray(data["w"])
+        return self
+
+    def compare(self, iterations: int = 5, x=None):
+        """Classic vs trained transfer: per-cycle fine residual inf-norms
+        (reference compare, exp2/P/quasi_simulation/object.py:1290-1366)."""
+        t = self.scene.params["transfers"][0]
+        out = {}
+        for name, w in (("classic", t["t_w"]), ("trained", self.w)):
+            x_cur = self.scene.x0 if x is None else x
+            series = []
+            for _ in range(iterations):
+                r = two_level_cycle_residual(self.scene, self.scene.params,
+                                             w, x_cur, self.cfg.mode)
+                series.append(float(ell.inf_norm(r)))
+                # apply the cycle by rerunning it on the updated state:
+                # cycle returns residual; recompute x via the same path
+                x_cur = self._apply_cycle(w, x_cur)
+            out[name] = np.asarray(series)
+        return out
+
+    def _apply_cycle(self, w, x):
+        t = self.scene.params["transfers"][0]
+        nf = self.scene.level(0).n_verts
+        nc = self.scene.level(1).n_verts
+        p_w, r_w = tables_from_weights(t, w, nf, nc, t["r_idx"].shape[1])
+        mode = self.cfg.mode
+        p_res = p_w if mode == "P" else t["p_w"]
+        r_res = r_w if mode == "P" else t["r_w"]
+        r_pos = r_w if mode == "p_hat" else t["r_w_norm"]
+        params = self.scene.params
+        f = qs.total_force(self.scene, params, x)
+        xc = tops.restrict(t["r_idx"], r_pos, x)
+        valsc = qs.assemble_coarse_rediscretized(self.scene, params, 1, xc,
+                                                 with_fix_diag=True)
+        bc = tops.restrict(t["r_idx"], r_res, f)
+        op1 = self.scene.make_op(1, params)
+        dxc = smoothers.jacobi(op1, valsc, bc, iterations=1)
+        return x + tops.prolong(t["p_idx"], p_res, dxc)

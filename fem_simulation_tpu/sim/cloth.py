@@ -1,0 +1,172 @@
+"""Mass-spring cloth simulation (implicit Euler, single level).
+
+TPU-native redesign of /root/reference/exp1/cloth_simulation/object.py:
+
+* Procedural (res_x+1) x (res_y+1) grid with 3 edge families — horizontal,
+  vertical, shear diagonal (object.py:27-44).
+* The COO layout the reference builds by edge hashing (object.py:101-144,
+  4 block slots per edge + diagonal offsets) becomes a block-ELL topology
+  with a precomputed (edge -> 4 slots) scatter map.
+* Frame step (object.py:657-677 `render`): predictor, H = m/h^2 I + spring
+  Hessian, f = spring + gravity + inertia, 5 CG iterations, velocity update.
+  (The reference's cloth path has no active pin/drag handling — its pin code
+  is commented out; we support an optional pin mask as an extension.)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ClothConfig
+from ..ops import spring, ell
+from ..solvers import cg as cgmod, smoothers
+
+
+class ClothScene:
+    """Static topology + device params for a cloth grid."""
+
+    def __init__(self, cfg: ClothConfig = ClothConfig(), pins=None):
+        self.cfg = cfg
+        rx, ry = cfg.res_x, cfg.res_y
+        nvx, nvy = rx + 1, ry + 1
+        n = nvx * nvy
+
+        def vid(i, j):
+            return i * nvx + j
+
+        edges = []
+        # horizontal, vertical, shear (object.py:30-43)
+        for i in range(nvy):
+            for j in range(rx):
+                edges.append((vid(i, j), vid(i, j + 1)))
+        for j in range(nvx):
+            for i in range(ry):
+                edges.append((vid(i, j), vid(i + 1, j)))
+        for i in range(ry):
+            for j in range(rx):
+                edges.append((vid(i, j), vid(i + 1, j + 1)))
+        edges = np.asarray(edges, dtype=np.int64)
+        e = edges.shape[0]
+
+        # positions: grid in the x-z plane at y = 1 (hanging under gravity)
+        ii, jj = np.meshgrid(np.arange(nvy), np.arange(nvx), indexing="ij")
+        x0 = np.stack([
+            jj.reshape(-1) * cfg.size / rx,
+            np.ones(n),
+            ii.reshape(-1) * cfg.size / ry,
+        ], axis=-1).astype(np.float32)
+
+        # ELL adjacency from edges (+ self)
+        pairs = np.concatenate([
+            np.stack([edges[:, 0], edges[:, 1]], 1),
+            np.stack([edges[:, 1], edges[:, 0]], 1),
+            np.stack([np.arange(n), np.arange(n)], 1),
+        ])
+        pairs = np.unique(pairs, axis=0)
+        r, c = pairs[:, 0], pairs[:, 1]
+        deg = np.bincount(r, minlength=n)
+        K = int(deg.max())
+        nbr = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, K))
+        mask = np.zeros((n, K), dtype=bool)
+        start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(deg, out=start[1:])
+        slot = np.arange(pairs.shape[0]) - start[r]
+        nbr[r, slot] = c.astype(np.int32)
+        mask[r, slot] = True
+        diag_slot = slot[r == c].astype(np.int32)
+
+        def find_slot(rr, cc):
+            return np.argmax(nbr[rr] == np.asarray(cc, np.int32)[:, None], axis=1)
+
+        i0, i1 = edges[:, 0], edges[:, 1]
+        edge_slot = np.stack([
+            i0 * K + find_slot(i0, i0),
+            i0 * K + find_slot(i0, i1),
+            i1 * K + find_slot(i1, i0),
+            i1 * K + find_slot(i1, i1),
+        ], axis=1).astype(np.int32)
+
+        self.n_verts = n
+        self.n_edges = e
+        self.K = K
+        pin_mask = np.zeros(n, dtype=np.float32)
+        if pins is not None:
+            pin_mask[np.asarray(pins, dtype=np.int64)] = 1.0
+
+        l0 = np.linalg.norm(x0[edges[:, 0]] - x0[edges[:, 1]], axis=-1)
+        # lumped mass: uniform (cloth reference uses per-vertex mass from grid)
+        mass = np.full(n, 1.0 / n, dtype=np.float32)
+
+        self.params = dict(
+            x0=jnp.asarray(x0),
+            edges=jnp.asarray(edges.astype(np.int32)),
+            l0=jnp.asarray(l0.astype(np.float32)),
+            mass=jnp.asarray(mass),
+            nbr=jnp.asarray(nbr),
+            mask=jnp.asarray(mask.astype(np.float32)),
+            diag_slot=jnp.asarray(diag_slot),
+            edge_slot=jnp.asarray(edge_slot),
+            pin_mask=jnp.asarray(pin_mask),
+            pin_pos=jnp.asarray(x0),
+        )
+        # single color: CG-only solves (no coloring needed for cloth)
+        self.color_offsets = (0, n)
+
+    def make_op(self):
+        p = self.params
+        return smoothers.EllOperator(p["nbr"], p["mask"], p["diag_slot"],
+                                     self.color_offsets)
+
+
+class ClothState(NamedTuple):
+    x: jnp.ndarray
+    v: jnp.ndarray
+
+
+def init_state(scene: ClothScene) -> ClothState:
+    return ClothState(x=scene.params["x0"],
+                      v=jnp.zeros_like(scene.params["x0"]))
+
+
+def step(scene: ClothScene, params, st: ClothState,
+         gravity: float = -9.8 / 2.0) -> ClothState:
+    """One cloth frame (reference cloth render, object.py:657-677)."""
+    cfg = scene.cfg
+    inv_dt = 1.0 / cfg.dt
+    x_old = st.x
+    v = st.v * cfg.damping
+    x = st.x + v * cfg.dt
+    x_tilde = x
+
+    vals = spring.assemble_hessian_ell(
+        x, params["edges"], params["l0"], cfg.k, params["edge_slot"],
+        scene.n_verts, scene.K)
+    diag = ((params["mass"] * inv_dt * inv_dt
+             + cfg.control_mag * params["pin_mask"])[:, None, None]
+            * jnp.eye(3, dtype=x.dtype))
+    vals = ell.add_to_diag(vals, params["diag_slot"], diag)
+
+    f = spring.force(x, params["edges"], params["l0"], cfg.k, scene.n_verts)
+    f = f.at[:, 1].add(params["mass"] * gravity)
+    f = f + cfg.control_mag * params["pin_mask"][:, None] * (params["pin_pos"] - x)
+    f = f + -(params["mass"] * inv_dt * inv_dt)[:, None] * (x - x_tilde)
+
+    op = scene.make_op()
+    dx = cgmod.cg(op, vals, f, iterations=5, tol=1e-5)
+    x = x + dx
+    v = (x - x_old) * inv_dt
+    return ClothState(x=x, v=v)
+
+
+class ClothSim:
+    def __init__(self, cfg: ClothConfig = ClothConfig(), pins=None):
+        self.scene = ClothScene(cfg, pins=pins)
+        self.state = init_state(self.scene)
+        self._step = jax.jit(lambda p, s: step(self.scene, p, s))
+
+    def frame(self) -> ClothState:
+        self.state = self._step(self.scene.params, self.state)
+        return self.state

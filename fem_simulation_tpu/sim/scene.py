@@ -34,11 +34,12 @@ class Scene:
     def __init__(self, mesh: meshlib.HexMesh,
                  material: MaterialConfig = MaterialConfig(),
                  solver: SolverConfig = SolverConfig(),
-                 pins=None):
+                 pins=None, pad_to: int = 1):
         self.mesh = mesh
         self.material = material
         self.solver = solver
-        self.hier = hl.build_hierarchy(mesh, solver.n_levels, solver.max_levels)
+        self.hier = hl.build_hierarchy(mesh, solver.n_levels, solver.max_levels,
+                                       pad_to=pad_to)
         self.n_levels = self.hier.n_levels
 
         if pins is None or len(pins) == 0:
@@ -46,8 +47,12 @@ class Scene:
         pins = np.asarray(pins, dtype=np.int64)
         pin_mask = np.zeros(mesh.n_verts, dtype=np.float32)
         pin_mask[pins] = 1.0
-        # canonical order
+        # canonical order (+ phantom padding rows, never pinned)
         pin_mask = pin_mask[self.hier.idx2mesh]
+        n0 = self.hier.levels[0].n_verts
+        if n0 > pin_mask.size:
+            pin_mask = np.concatenate(
+                [pin_mask, np.zeros(n0 - pin_mask.size, np.float32)])
 
         self.params = {"levels": [], "transfers": []}
         for li, lvl in enumerate(self.hier.levels):
@@ -75,6 +80,11 @@ class Scene:
                 r_w_norm=jnp.asarray(tr.r_w_norm),
                 g_src=jnp.asarray(tr.g_src), g_dst=jnp.asarray(tr.g_dst),
                 g_w=jnp.asarray(tr.g_w),
+                # exp2 trainable-interpolation triplet maps
+                t_w=jnp.asarray(tr.t_w),
+                t_fine_slot=jnp.asarray(tr.t_fine_slot),
+                t_coarse_slot=jnp.asarray(tr.t_coarse_slot),
+                t_rows=jnp.asarray(tr.t_rows), t_cols=jnp.asarray(tr.t_cols),
             )
             # Coarse-diagonal pin compensation for re-discretized (FAS) coarse
             # operators: control_mag * sum_{v pinned} P[v, c]^2 at coarse vertex c
@@ -101,12 +111,21 @@ class Scene:
 
     # -- I/O order conversion ----------------------------------------------
     def to_mesh_order(self, x):
-        out = np.zeros_like(np.asarray(x))
-        out[self.hier.idx2mesh] = np.asarray(x)
+        """Canonical (possibly padded) -> original mesh vertex order."""
+        n = self.hier.idx2mesh.size
+        xa = np.asarray(x)
+        out = np.zeros((n,) + xa.shape[1:], dtype=xa.dtype)
+        out[self.hier.idx2mesh] = xa[:n]
         return out
 
     def from_mesh_order(self, x):
-        return jnp.asarray(np.asarray(x)[self.hier.idx2mesh])
+        """Original mesh order -> canonical order (zero-filled padding)."""
+        xa = np.asarray(x)[self.hier.idx2mesh]
+        n0 = self.hier.levels[0].n_verts
+        if n0 > xa.shape[0]:
+            xa = np.concatenate(
+                [xa, np.zeros((n0 - xa.shape[0],) + xa.shape[1:], xa.dtype)])
+        return jnp.asarray(xa)
 
     @property
     def x0(self):

@@ -1,0 +1,66 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.config import SolverConfig, DynamicsConfig
+from fem_simulation_tpu.sim import Scene
+from fem_simulation_tpu.sim.dynamic import DynamicSim, init_state
+
+
+@pytest.fixture(scope="module")
+def scene():
+    m = meshlib.beam(4, 4, 8, dx=0.1)
+    return Scene(m, solver=SolverConfig(n_levels=2))
+
+
+def test_dynamic_frames_stable(scene):
+    sim = DynamicSim(scene)
+    for _ in range(20):
+        st = sim.frame()
+    x = np.asarray(st.x)
+    assert np.isfinite(x).all()
+    # the free end sags under gravity (pins are the top slab in +y)
+    x0 = np.asarray(scene.x0)
+    assert x[:, 1].min() < x0[:, 1].min() - 1e-4
+    # no explosion
+    assert np.abs(x - x0).max() < 1.0
+
+
+def test_velocity_consistency(scene):
+    """v == (x_new - x_old)/dt after each frame."""
+    sim = DynamicSim(scene)
+    x_old = np.asarray(sim.state.x)
+    st = sim.frame()
+    dt = sim.dyn.dt
+    np.testing.assert_allclose(np.asarray(st.v),
+                               (np.asarray(st.x) - x_old) / dt,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_step_to_tol_converges(scene):
+    sim = DynamicSim(scene)
+    for _ in range(3):
+        st, k, fn = sim.frame_to_tol(tol=1e-4, max_newton=20)
+        assert float(fn) <= 1e-4
+        assert int(k) <= 20
+    assert np.isfinite(np.asarray(st.x)).all()
+
+
+def test_drag_pulls_vertices(scene):
+    sim = DynamicSim(scene)
+    n = scene.level(0).n_verts
+    mask = np.zeros(n, dtype=np.float32)
+    # grab a free (unpinned) vertex
+    pin = np.asarray(scene.params["levels"][0]["pin_mask"])
+    free = np.nonzero(pin == 0)[0][0]
+    mask[free] = 1.0
+    targets = np.asarray(scene.x0).copy()
+    targets[free] += np.array([0.2, 0.0, 0.0], dtype=np.float32)
+    sim.set_drag(mask, targets)
+    for _ in range(30):
+        st = sim.frame()
+    moved = np.asarray(st.x)[free] - np.asarray(scene.x0)[free]
+    assert moved[0] > 0.01  # pulled toward the drag target
+    sim.clear_drag()
+    assert float(sim.state.drag_mask.sum()) == 0.0
