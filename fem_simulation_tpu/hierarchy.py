@@ -210,7 +210,8 @@ class Transfer:
     g_w: np.ndarray
     # trainable-interpolation support (exp2): one scalar weight per triplet,
     # with scatter maps into the P-table (Nf*8 flat) and R-table (Nc*Kr flat).
-    t_w: np.ndarray = None        # (M,) classic trilinear weights
+    t_w: np.ndarray = None        # (M,) classic trilinear weights (hat)
+    t_w_norm: np.ndarray = None   # (M,) coarse-row-normalized weights
     t_fine_slot: np.ndarray = None   # (M,) flat index into p_w
     t_coarse_slot: np.ndarray = None  # (M,) flat index into r_w
     t_rows: np.ndarray = None     # (M,) fine vertex of each triplet
@@ -349,6 +350,7 @@ def build_transfer(fine: LevelTopology, coarse: LevelTopology) -> Transfer:
         g_src=g_src[po].astype(np.int32), g_dst=g_dst[po].astype(np.int32),
         g_w=g_w[po],
         t_w=ws.astype(np.float32),
+        t_w_norm=ws_norm.astype(np.float32),
         t_fine_slot=p_slot_of_entry.astype(np.int32),
         t_coarse_slot=r_slot_of_entry.astype(np.int32),
         t_rows=rows.astype(np.int32), t_cols=cols.astype(np.int32),

@@ -24,14 +24,23 @@ import flax.linen as nn
 
 
 class GraphConv(nn.Module):
-    """x_i' = W1 x_i + W2 sum_{j->i} x_j  (+ bias), PyG GraphConv semantics."""
+    """x_i' = W1 x_i + W2 agg_{j->i} x_j  (+ bias), PyG GraphConv semantics.
+
+    aggr='mean' by default: hex-lattice vertices have ~26 neighbors, so sum
+    aggregation (PyG's default, used by the reference) amplifies activations
+    ~26x per layer and stacks to ~700x at init — mean keeps activations O(1).
+    """
     features: int
+    aggr: str = "mean"
 
     @nn.compact
     def __call__(self, x, edge_index):
         # edge_index: (2, E) with messages flowing src -> dst
         src, dst = edge_index[0], edge_index[1]
         agg = jnp.zeros_like(x).at[dst].add(x[src])
+        if self.aggr == "mean":
+            deg = jnp.zeros((x.shape[0],), x.dtype).at[dst].add(1.0)
+            agg = agg / jnp.maximum(deg, 1.0)[:, None]
         return (nn.Dense(self.features, use_bias=True)(x)
                 + nn.Dense(self.features, use_bias=False)(agg))
 

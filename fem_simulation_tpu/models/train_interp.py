@@ -37,9 +37,14 @@ def tables_from_weights(params_t, w, nf: int, nc: int, Kr: int):
     return p_w.reshape(nf, 8), r_w.reshape(nc, Kr)
 
 
-def row_norm_penalty(params_t, w, nc: int):
-    """sum over coarse rows of (sum_j w - 1)^2 (reference loss_norm)."""
-    s = jnp.zeros((nc,), dtype=w.dtype).at[params_t["t_cols"]].add(w)
+def row_norm_penalty(params_t, w, n_rows: int, mode: str):
+    """sum over rows of (row_sum - 1)^2 (reference loss_norm,
+    cublas.py:284-293), in the trained matrix's own normalization:
+    mode "P" trains the hat prolongation whose FINE rows partition unity;
+    mode "p_hat" trains the normalized restriction whose COARSE rows sum to 1.
+    """
+    idx = params_t["t_rows"] if mode == "P" else params_t["t_cols"]
+    s = jnp.zeros((n_rows,), dtype=w.dtype).at[idx].add(w)
     return jnp.sum((s - 1.0) ** 2)
 
 
@@ -76,13 +81,14 @@ def two_level_cycle_residual(scene: Scene, params, w, x, mode: str):
 
 
 def make_loss(scene: Scene, cfg: TrainInterpConfig):
-    nc = scene.level(1).n_verts
+    n_rows = (scene.level(0).n_verts if cfg.mode == "P"
+              else scene.level(1).n_verts)
 
     def loss(w, params, x):
         r = two_level_cycle_residual(scene, params, w, x, cfg.mode)
         t = params["transfers"][0]
         return (ell.inf_norm(r)
-                + cfg.row_norm_weight * row_norm_penalty(t, w, nc))
+                + cfg.row_norm_weight * row_norm_penalty(t, w, n_rows, cfg.mode))
 
     return loss
 
@@ -96,7 +102,8 @@ class InterpTrainer:
         self.scene = scene
         self.cfg = cfg
         t = scene.params["transfers"][0]
-        self.w = t["t_w"]  # init from classic trilinear weights
+        # init from the classic weights in the mode's own normalization
+        self.w = t["t_w"] if cfg.mode == "P" else t["t_w_norm"]
         self._grad = jax.jit(jax.grad(make_loss(scene, cfg)))
         self._loss = jax.jit(make_loss(scene, cfg))
 
@@ -134,8 +141,9 @@ class InterpTrainer:
         """Classic vs trained transfer: per-cycle fine residual inf-norms
         (reference compare, exp2/P/quasi_simulation/object.py:1290-1366)."""
         t = self.scene.params["transfers"][0]
+        w_classic = t["t_w"] if self.cfg.mode == "P" else t["t_w_norm"]
         out = {}
-        for name, w in (("classic", t["t_w"]), ("trained", self.w)):
+        for name, w in (("classic", w_classic), ("trained", self.w)):
             x_cur = self.scene.x0 if x is None else x
             series = []
             for _ in range(iterations):

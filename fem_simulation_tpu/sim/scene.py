@@ -82,6 +82,7 @@ class Scene:
                 g_w=jnp.asarray(tr.g_w),
                 # exp2 trainable-interpolation triplet maps
                 t_w=jnp.asarray(tr.t_w),
+                t_w_norm=jnp.asarray(tr.t_w_norm),
                 t_fine_slot=jnp.asarray(tr.t_fine_slot),
                 t_coarse_slot=jnp.asarray(tr.t_coarse_slot),
                 t_rows=jnp.asarray(tr.t_rows), t_cols=jnp.asarray(tr.t_cols),

@@ -103,3 +103,29 @@ def plot_convergence(series: dict, path: str, ylog: bool = True,
     ax.grid(True, alpha=0.3)
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
+
+
+def render_level(scene, level: int, path: str, x=None, title=None):
+    """Render one multigrid level's hex mesh surface (reference show_layer,
+    object.py:1854-1864)."""
+    from .. import mesh as meshlib
+    lvl = scene.level(level)
+    tris = meshlib.surface_triangles(np.asarray(lvl.hexes))
+    if x is None:
+        xs = np.asarray(lvl.x0)
+    else:
+        xs = np.asarray(x)
+    render_surface(xs, tris, path,
+                   title=title or f"level {level}: {lvl.n_hexes} hexes")
+
+
+def show(scene, sim, energy, f_inf, out_prefix: str):
+    """Energy/inf-norm series + deformed mesh (reference `show`,
+    object.py:1866-1901). Writes {prefix}_conv.png and {prefix}_mesh.png."""
+    from .. import mesh as meshlib
+    plot_convergence({"energy": np.asarray(energy)},
+                     out_prefix + "_energy.png", ylog=False)
+    plot_convergence({"||f||_inf": np.asarray(f_inf)},
+                     out_prefix + "_conv.png")
+    tris = meshlib.surface_triangles(scene.mesh.hexes)
+    render_surface(scene.to_mesh_order(sim.x), tris, out_prefix + "_mesh.png")

@@ -62,7 +62,7 @@ def test_graphconv_matches_manual():
     from fem_simulation_tpu.models.gnn import GraphConv
     ei = jnp.asarray(np.array([[0, 1, 2], [1, 2, 0]]))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32))
-    model = GraphConv(5)
+    model = GraphConv(5, aggr="add")
     p = model.init(jax.random.PRNGKey(0), x, ei)
     y = model.apply(p, x, ei)
     W1 = p["params"]["Dense_0"]["kernel"]
