@@ -94,10 +94,13 @@ def build_level_topology(x0: np.ndarray, ijk: np.ndarray, hexes: np.ndarray,
     h = hexes.shape[0]
 
     # All vertex-pair couplings within each hex (the matrix stencil).
-    rows = np.repeat(hexes, 8, axis=1).reshape(-1)            # (H*64,) r = hex[a]
-    cols = np.tile(hexes, (1, 8)).reshape(-1)                 # (H*64,) c = hex[b]
-    pairs = np.unique(np.stack([rows, cols], axis=1), axis=0)
-    r, c = pairs[:, 0], pairs[:, 1]
+    from . import native
+    pairs = native.hex_pairs_unique(hexes) if native.available() else None
+    if pairs is None:
+        rows = np.repeat(hexes, 8, axis=1).reshape(-1)        # (H*64,) r = hex[a]
+        cols = np.tile(hexes, (1, 8)).reshape(-1)             # (H*64,) c = hex[b]
+        pairs = np.unique(np.stack([rows, cols], axis=1), axis=0)
+    r, c = pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64)
 
     deg = np.bincount(r, minlength=n)
     K = int(deg.max())
@@ -113,17 +116,15 @@ def build_level_topology(x0: np.ndarray, ijk: np.ndarray, hexes: np.ndarray,
 
     # hex -> ELL slot map for Hessian scatter: entry (h, a, b) goes to
     # flat index row*K + slot where row = hexes[h,a], col = hexes[h,b].
-    hr = np.repeat(hexes, 8, axis=1).reshape(h, 8, 8).astype(np.int64)
-    hc = np.tile(hexes, (1, 8)).reshape(h, 8, 8).astype(np.int64)
-    # Columns within each row of `nbr` are sorted ascending where real;
-    # padding equals the row id which may collide — search only real width.
-    hex_slot = np.empty((h, 8, 8), dtype=np.int64)
-    flat_r = hr.reshape(-1)
-    flat_c = hc.reshape(-1)
-    # Vectorized per-row searchsorted: nbr rows are sorted on the real prefix.
-    sorted_rows = nbr[flat_r]                                  # (H*64, K)
-    s = np.argmax(sorted_rows == flat_c[:, None], axis=1)      # first match
-    hex_slot = (flat_r * K + s).reshape(h, 8, 8).astype(np.int32)
+    hex_slot = (native.hex_slot_map(hexes, nbr, deg.astype(np.int32))
+                if native.available() else None)
+    if hex_slot is None:
+        flat_r = np.repeat(hexes, 8, axis=1).reshape(-1).astype(np.int64)
+        flat_c = np.tile(hexes, (1, 8)).reshape(-1).astype(np.int64)
+        # Per-row first-match: nbr rows are ascending on the real prefix and
+        # the diagonal always exists, so argmax== finds the right slot.
+        s = np.argmax(nbr[flat_r] == flat_c[:, None], axis=1)
+        hex_slot = (flat_r * K + s).reshape(h, 8, 8).astype(np.int32)
 
     topo = LevelTopology(
         n_verts=n, n_hexes=h, x0=x0, ijk=ijk, hexes=hexes,
@@ -227,29 +228,35 @@ def _prolongation_triplets(fine: LevelTopology, coarse: LevelTopology):
     weights 1, .5, .25, .125 (object.py:283-412).
     """
     f = fine.ijk                                    # (Nf, 3), fine units
-    # Coarse vertex lookup: lattice coord -> coarse canonical id.
-    key = {tuple(c): i for i, c in enumerate(coarse.ijk)}
+    # Coarse vertex lookup: packed lattice key -> coarse id via searchsorted
+    # (vectorized; replaces the per-vertex dict probes the reference's nested
+    # loops imply, object.py:283-412).
+    B = np.int64(1) << 19  # 20-bit fields: keys stay within int64
+    def pack(c):
+        c = c.astype(np.int64)
+        return ((c[:, 0] + B) << 40) | ((c[:, 1] + B) << 20) | (c[:, 2] + B)
+
+    ckeys = pack(coarse.ijk)
+    order_c = np.argsort(ckeys)
+    ckeys_sorted = ckeys[order_c]
 
     rows, cols, ws = [], [], []
-    nf = f.shape[0]
-    # Enumerate the up-to-8 contributors via per-axis choices.
     even = (f & 1) == 0                             # (Nf, 3)
+    half = (f - (f & 1)) // 2
     for da in range(2):
         for db in range(2):
             for dc in range(2):
                 d = np.array([da, db, dc])
-                # choice d=0 -> floor((f)/2) ; d=1 -> floor(f/2)+1 (only if odd)
-                valid = np.all(even | (d == d), axis=1)  # always true; filter below
-                coarse_coord = (f - (f & 1)) // 2 + d * (f & 1)
+                coarse_coord = half + d * (f & 1)
                 w = np.where(even, np.where(d == 0, 1.0, 0.0), 0.5)
                 wprod = w.prod(axis=1)
                 sel = wprod > 0
-                idxs = np.full(nf, -1, dtype=np.int64)
-                cc = coarse_coord[sel]
-                ids = np.array([key.get(tuple(t), -1) for t in cc], dtype=np.int64)
-                assert (ids >= 0).all(), "coarse contributor must exist"
+                kk = pack(coarse_coord[sel])
+                pos = np.searchsorted(ckeys_sorted, kk)
+                assert (ckeys_sorted[pos] == kk).all(), \
+                    "coarse contributor must exist"
                 rows.append(np.nonzero(sel)[0])
-                cols.append(ids)
+                cols.append(order_c[pos])
                 ws.append(wprod[sel])
     rows = np.concatenate(rows)
     cols = np.concatenate(cols)
@@ -308,39 +315,37 @@ def build_transfer(fine: LevelTopology, coarse: LevelTopology) -> Transfer:
     fj = fine.nbr[fi, fk].astype(np.int64)
     src_flat = fi * fine.K + fk
 
-    # Contributors per fine vertex as ragged lists -> use dense (8,) with mask.
-    pw = p_w          # (Nf, 8)
-    pidx = p_idx
-    pmask = pw > 0
-
-    # Expand: for each fine entry e=(i,j), all (a,b) contributor slot pairs.
-    # Sizes: sum over entries of n_i * n_j; do it with a flat meshgrid per entry
-    # via repeat/tile on the dense 8-wide arrays, then filter by mask.
-    ni = pmask[fi]    # (E, 8)
-    nj = pmask[fj]
-    wi = pw[fi]       # (E, 8)
-    wj = pw[fj]
-    Ii = pidx[fi].astype(np.int64)
-    Jj = pidx[fj].astype(np.int64)
-
-    # (E, 8, 8) products
-    W = wi[:, :, None] * wj[:, None, :]
-    M = ni[:, :, None] & nj[:, None, :]
-    Ie = np.broadcast_to(Ii[:, :, None], W.shape)
-    Je = np.broadcast_to(Jj[:, None, :], W.shape)
-    Se = np.broadcast_to(src_flat[:, None, None], W.shape)
-    sel = M.reshape(-1)
-    g_src = Se.reshape(-1)[sel]
-    g_w = W.reshape(-1)[sel].astype(np.float32)
-    gI = Ie.reshape(-1)[sel]
-    gJ = Je.reshape(-1)[sel]
-
-    # Destination flat coarse ELL entry: slot of column J within row I.
-    cnbr = coarse.nbr
-    s = np.argmax(cnbr[gI] == gJ[:, None].astype(np.int32), axis=1)
-    ok = cnbr[gI, s] == gJ
-    assert ok.all(), "Galerkin destination must exist in the coarse stencil"
-    g_dst = (gI * coarse.K + s).astype(np.int64)
+    # Expand: for each fine entry e=(i,j), all (a,b) contributor slot pairs
+    # with nonzero weight product (native single-pass expansion when built;
+    # see native/topology.cpp galerkin_plan).
+    from . import native
+    cdeg = coarse.nbr_mask.sum(axis=1).astype(np.int32)
+    if native.available():
+        g_src, g_dst, g_w = native.galerkin_plan(
+            fi.astype(np.int32), fj.astype(np.int32),
+            src_flat.astype(np.int32), p_idx, p_w, coarse.nbr, cdeg, coarse.K)
+        g_src = g_src.astype(np.int64)
+        g_dst = g_dst.astype(np.int64)
+    else:
+        # Memory-lean numpy fallback: one (E*64,) f32 weight array, then
+        # gather only the selected entries (zero weights are padding).
+        wi = p_w[fi].astype(np.float32)    # (E, 8)
+        wj = p_w[fj].astype(np.float32)
+        W = (wi[:, :, None] * wj[:, None, :]).reshape(-1)   # (E*64,)
+        sel = np.nonzero(W > 0)[0]
+        e = sel >> 6
+        a = (sel >> 3) & 7
+        b = sel & 7
+        g_src = src_flat[e]
+        g_w = W[sel]
+        gI = p_idx[fi[e], a].astype(np.int64)
+        gJ = p_idx[fj[e], b].astype(np.int64)
+        # Destination flat coarse ELL entry: slot of column J within row I.
+        cnbr = coarse.nbr
+        s = np.argmax(cnbr[gI] == gJ[:, None].astype(np.int32), axis=1)
+        ok = cnbr[gI, s] == gJ
+        assert ok.all(), "Galerkin destination must exist in the coarse stencil"
+        g_dst = (gI * coarse.K + s).astype(np.int64)
 
     # Sort the plan by destination for a cache-friendlier scatter.
     po = np.argsort(g_dst, kind="stable")
