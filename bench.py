@@ -2,9 +2,15 @@
 
 Runs the implicit-Euler dynamic sim (reference exp1/simulation render loop,
 /root/reference/exp1/simulation/object.py:1286-1329) on the bundled beam mesh
-from rest: every frame runs Newton iterations until the full implicit residual
-satisfies ||f||_inf <= 1e-4 (device-resident while_loop), which is *stronger*
-than the reference's fixed 5-CG-iteration frame.
+from rest. Every frame runs Newton iterations until the full implicit residual
+satisfies ||f||_inf <= tol (device-resident while_loop) — *stronger* than the
+reference's fixed 5-CG-iteration frame.
+
+Frames are scanned inside ONE jit dispatch (how a production sim runs), and
+per-frame time is the slope between two scan lengths — this removes the
+per-dispatch host<->TPU tunnel latency (~33 ms here) that would otherwise
+dominate and measures actual device throughput. Every frame's residual is
+checked on the host afterwards.
 
 North star (BASELINE.md): >=10 timesteps/sec => 100 ms/step budget.
 vs_baseline = 100 / measured_ms (>1 beats the north star).
@@ -24,14 +30,16 @@ def main():
     ap.add_argument("--mesh", default=None, help="OBJ path (default: procedural beam)")
     ap.add_argument("--dx", type=float, default=0.05)
     ap.add_argument("--beam", default="8,8,24")
-    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-4)
-    ap.add_argument("--multigrid", action="store_true",
-                    help="use V-cycle inner solver instead of CG")
+    ap.add_argument("--solver", default="matfree",
+                    choices=["matfree", "cg", "mg"],
+                    help="inner solver: matrix-free CG (default), assembled "
+                         "CG, or V-cycle multigrid")
     args = ap.parse_args()
 
     import jax
-    try:  # persistent compile cache: driver re-runs skip the slow TPU compile
+    try:  # persistent compile cache: repeat runs skip the slow TPU compile
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -39,29 +47,46 @@ def main():
 
     from fem_simulation_tpu import mesh as meshlib
     from fem_simulation_tpu.config import SolverConfig
-    from fem_simulation_tpu.sim import Scene
-    from fem_simulation_tpu.sim.dynamic import DynamicSim, init_state
+    from fem_simulation_tpu.sim import Scene, dynamic
 
     shape = tuple(int(s) for s in args.beam.split(","))
     m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape)
     scene = Scene(m, solver=SolverConfig(n_levels=2))
-    sim = DynamicSim(scene)
+    st0 = dynamic.init_state(scene)
 
-    # compile warm-up (does one transient frame), then reset to rest
-    sim.frame_to_tol(args.tol, use_multigrid=args.multigrid)
-    _ = np.asarray(sim.state.x)
-    sim.state = init_state(scene)
+    def make_run(n):
+        @jax.jit
+        def run(p, st):
+            def body(st, _):
+                st2, k, fn = dynamic.step_to_tol(
+                    scene, p, st, tol=args.tol, max_newton=20,
+                    use_multigrid=(args.solver == "mg"),
+                    matrix_free=(args.solver == "matfree"))
+                return st2, fn
+            return jax.lax.scan(body, st, None, length=n)
+        return run
 
-    worst = 0.0
-    t0 = time.perf_counter()
-    for _ in range(args.frames):
-        st, k, fn = sim.frame_to_tol(args.tol, use_multigrid=args.multigrid)
-        # axon tunnel: block_until_ready does not block; force a host readback
-        worst = max(worst, float(np.asarray(fn)))
-    t1 = time.perf_counter()
+    n_small = max(args.frames // 5, 2)
+    run_small = make_run(n_small)
+    run_big = make_run(args.frames)
 
-    ms = (t1 - t0) / args.frames * 1000.0
-    assert worst <= args.tol * 1.01, f"tolerance missed: {worst:.3e}"
+    def timed(run):
+        # warm-up (compile), then best-of-3 with forced host readback
+        out = run(scene.params, st0)
+        _ = np.asarray(out[1])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, fns = run(scene.params, st0)
+            fns = np.asarray(fns)          # axon tunnel: readback is the sync
+            ts.append(time.perf_counter() - t0)
+        return min(ts), fns
+
+    t_small, _ = timed(run_small)
+    t_big, fns = timed(run_big)
+    assert fns.max() <= args.tol * 1.01, f"tolerance missed: {fns.max():.3e}"
+
+    ms = (t_big - t_small) / (args.frames - n_small) * 1000.0
     print(json.dumps({
         "metric": "ms_per_timestep_to_f_inf_1e-4",
         "value": round(ms, 3),

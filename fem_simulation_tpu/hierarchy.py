@@ -78,6 +78,11 @@ class LevelTopology:
     diag_slot: np.ndarray     # (N,) int32 slot k with nbr[i, k] == i
     hex_slot: np.ndarray      # (H, 8, 8) int32 flat scatter index row*K + slot
     dx: float
+    # Inverse of hex_slot: per flat ELL entry, the (hex*64+a*8+b) element-block
+    # contributions (padded). Lets assembly be a gather+sum instead of a
+    # scatter-add — deterministic and TPU-friendly.
+    contrib_idx: np.ndarray = None   # (N*K, C) int32 into H*64
+    contrib_mask: np.ndarray = None  # (N*K, C) bool
 
 
 def build_level_topology(x0: np.ndarray, ijk: np.ndarray, hexes: np.ndarray,
@@ -126,10 +131,25 @@ def build_level_topology(x0: np.ndarray, ijk: np.ndarray, hexes: np.ndarray,
         s = np.argmax(nbr[flat_r] == flat_c[:, None], axis=1)
         hex_slot = (flat_r * K + s).reshape(h, 8, 8).astype(np.int32)
 
+    # Invert hex_slot: group element blocks by destination ELL entry.
+    flat = hex_slot.reshape(-1).astype(np.int64)        # (H*64,)
+    order2 = np.argsort(flat, kind="stable")
+    sorted_dst = flat[order2]
+    counts = np.bincount(sorted_dst, minlength=n * K)
+    C = int(counts.max()) if counts.size else 0
+    starts = np.zeros(n * K + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(flat.size) - starts[sorted_dst]
+    contrib_idx = np.zeros((n * K, C), dtype=np.int32)
+    contrib_mask = np.zeros((n * K, C), dtype=bool)
+    contrib_idx[sorted_dst, pos] = order2.astype(np.int32)
+    contrib_mask[sorted_dst, pos] = True
+
     topo = LevelTopology(
         n_verts=n, n_hexes=h, x0=x0, ijk=ijk, hexes=hexes,
         color_offsets=offsets, K=K, nbr=nbr, nbr_mask=mask,
         diag_slot=diag_slot, hex_slot=hex_slot, dx=dx,
+        contrib_idx=contrib_idx, contrib_mask=contrib_mask,
     )
     return topo
 
@@ -156,6 +176,12 @@ def pad_level(topo: LevelTopology, pad_to: int) -> LevelTopology:
         nbr=np.concatenate([topo.nbr, np.tile(ids[:, None], (1, topo.K))]),
         nbr_mask=np.concatenate([topo.nbr_mask, np.zeros((pad, topo.K), bool)]),
         diag_slot=np.concatenate([topo.diag_slot, np.zeros(pad, np.int32)]),
+        contrib_idx=np.concatenate(
+            [topo.contrib_idx,
+             np.zeros((pad * topo.K, topo.contrib_idx.shape[1]), np.int32)]),
+        contrib_mask=np.concatenate(
+            [topo.contrib_mask,
+             np.zeros((pad * topo.K, topo.contrib_mask.shape[1]), bool)]),
     )
 
 

@@ -172,6 +172,20 @@ def assemble_hessian_ell(x, hexes, det, g, mu, la, hex_slot, n_verts, K,
     return vals.reshape(n_verts, K, 3, 3)
 
 
+def assemble_hessian_ell_gather(x, hexes, det, g, mu, la,
+                                contrib_idx, contrib_mask, n_verts, K,
+                                base_values=None) -> jnp.ndarray:
+    """Gather-based assembly: each ELL entry sums its (<=8) element-block
+    contributions through a precomputed inverse map — no scatter at all
+    (the TPU-preferred dual of hex_update_offset)."""
+    H = hessian_blocks(x, hexes, det, g, mu, la).reshape(-1, 3, 3)
+    gathered = H[contrib_idx] * contrib_mask[..., None, None]   # (N*K, C, 3, 3)
+    vals = jnp.sum(gathered, axis=1)
+    if base_values is not None:
+        vals = vals + base_values.reshape(n_verts * K, 3, 3)
+    return vals.reshape(n_verts, K, 3, 3)
+
+
 # ---------------------------------------------------------------------------
 # Simple per-vertex energy terms (gravity, pins, inertia)
 # ---------------------------------------------------------------------------

@@ -65,11 +65,8 @@ def _dyn_hessian(scene: Scene, params, st: DynState, x, inv_dt):
     """H = elastic + (pin|drag) control diag + m/h^2 diag
     (reference Hessian_Diag_Kernel + Hessian_Mass_Kernel + elastic)."""
     p0 = params["levels"][0]
-    lvl = scene.level(0)
     mat = scene.material
-    vals = elastic.assemble_hessian_ell(
-        x, p0["hexes"], p0["det"], p0["g"], mat.lame_mu, mat.lame_la,
-        p0["hex_slot"], lvl.n_verts, lvl.K)
+    vals = qs.assemble_elastic(scene, params, 0, x)
     ctrl = mat.control_mag * jnp.maximum(p0["pin_mask"], st.drag_mask)
     diag = (ctrl + p0["mass"] * inv_dt * inv_dt)[:, None, None] * jnp.eye(3, dtype=x.dtype)
     return ell.add_to_diag(vals, p0["diag_slot"], diag)
@@ -97,11 +94,16 @@ def step(scene: Scene, params, st: DynState,
 def step_to_tol(scene: Scene, params, st: DynState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
-                use_multigrid: bool = True):
+                use_multigrid: bool = True, matrix_free: bool = False):
     """One frame with Newton iterations until ||f||_inf <= tol (device loop).
 
     This is the benchmark path (BASELINE.md metric). Returns (state, n_newton,
     final ||f||_inf).
+
+    matrix_free=True solves each Newton system with CG on the *linearized
+    force* (jax.linearize Hessian-vector products) — the Hessian is never
+    assembled; this is the SURVEY.md section 2.2 matrix-free design and the
+    fastest single-chip path.
     """
     inv_dt = 1.0 / dyn.dt
     x_old = st.x
@@ -119,13 +121,19 @@ def step_to_tol(scene: Scene, params, st: DynState,
 
     def body(carry):
         xx, k, _ = carry
-        vals = _dyn_hessian(scene, params, st, xx, inv_dt)
         f = resid(xx)
-        if use_multigrid:
+        if matrix_free:
+            _, jvp_fn = jax.linearize(resid, xx)
+            dx = cgmod.cg_operator(lambda p: -jvp_fn(p), f,
+                                   iterations=scene.solver.cg_iterations,
+                                   tol=scene.solver.cg_tol)
+        elif use_multigrid:
+            vals = _dyn_hessian(scene, params, st, xx, inv_dt)
             values = qs.galerkin_chain(scene, params, vals)
             dx = qs.vcycle(scene, params, values, f,
                            gs_iterations=scene.solver.gs_iterations)
         else:
+            vals = _dyn_hessian(scene, params, st, xx, inv_dt)
             dx = cgmod.cg(op, vals, f, iterations=scene.solver.cg_iterations,
                           tol=scene.solver.cg_tol)
         xx = xx + dx

@@ -47,18 +47,26 @@ def total_energy(scene: Scene, params, x):
     return e
 
 
+def assemble_elastic(scene: Scene, params, li: int, x):
+    """Elastic Hessian of level li via the gather-based (scatter-free)
+    assembly (ops.elastic.assemble_hessian_ell_gather)."""
+    p = params["levels"][li]
+    lvl = scene.level(li)
+    mat = scene.material
+    return elastic.assemble_hessian_ell_gather(
+        x, p["hexes"], p["det"], p["g"], mat.lame_mu, mat.lame_la,
+        p["contrib_idx"], p["contrib_mask"], lvl.n_verts, lvl.K)
+
+
 def assemble_fine(scene: Scene, params, x, include_pins=True):
     """Fine-level Hessian in block-ELL, pin springs on the diagonal.
 
     The pin diagonal mirrors MF_value_fixed (object.py:791-793); elastic blocks
-    are scattered on top (object.py:1249).
+    are summed on top (object.py:1249).
     """
     p0 = params["levels"][0]
-    lvl = scene.level(0)
     mat = scene.material
-    vals = elastic.assemble_hessian_ell(
-        x, p0["hexes"], p0["det"], p0["g"], mat.lame_mu, mat.lame_la,
-        p0["hex_slot"], lvl.n_verts, lvl.K)
+    vals = assemble_elastic(scene, params, 0, x)
     if include_pins:
         pin_diag = (mat.control_mag * p0["pin_mask"])[:, None, None] * jnp.eye(3, dtype=x.dtype)
         vals = ell.add_to_diag(vals, p0["diag_slot"], pin_diag)
@@ -70,11 +78,8 @@ def assemble_coarse_rediscretized(scene: Scene, params, li: int, xc,
     """Re-discretized coarse Hessian at restricted positions (FAS path,
     object.py:1344,1499-1501)."""
     p = params["levels"][li]
-    lvl = scene.level(li)
     mat = scene.material
-    vals = elastic.assemble_hessian_ell(
-        xc, p["hexes"], p["det"], p["g"], mat.lame_mu, mat.lame_la,
-        p["hex_slot"], lvl.n_verts, lvl.K)
+    vals = assemble_elastic(scene, params, li, xc)
     if with_fix_diag and li == 1:
         fd = params["transfers"][0]["fix_diag"]
         vals = ell.add_to_diag(vals, p["diag_slot"],

@@ -63,6 +63,8 @@ class Scene:
             p = dict(
                 x0=x0, hexes=hexes, det=det, g=g, mass=mass,
                 hex_slot=jnp.asarray(lvl.hex_slot.reshape(-1)),
+                contrib_idx=jnp.asarray(lvl.contrib_idx),
+                contrib_mask=jnp.asarray(lvl.contrib_mask.astype(np.float32)),
                 nbr=jnp.asarray(lvl.nbr),
                 mask=jnp.asarray(lvl.nbr_mask.astype(np.float32)),
                 diag_slot=jnp.asarray(lvl.diag_slot),

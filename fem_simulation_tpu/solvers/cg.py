@@ -20,6 +20,42 @@ from ..ops import ell
 EPSILON = 1e-7  # reference object.py:18
 
 
+def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
+    """CG on an abstract linear operator (used matrix-free: matvec is the
+    jax.linearize'd Hessian-vector product of the force — the explicit matrix
+    never exists; see SURVEY.md section 2.2 'matrix-free Hessian-vector
+    product')."""
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - matvec(x0)
+
+    rs0 = ell.vdot(r, r)
+
+    def cond(carry):
+        x, r, p, rs, k, alive = carry
+        return alive & (k <= iterations) & (rs > tol * rs0) & (rs0 > EPSILON)
+
+    def body(carry):
+        x, r, p, rs, k, alive = carry
+        ap = matvec(p)
+        pap = ell.vdot(p, ap)
+        ok = pap >= 1e-10
+        alpha = jnp.where(ok, rs / jnp.where(ok, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = ell.vdot(r, r)
+        beta = rs_new / rs
+        p = r + beta * p
+        return (x, r, p, rs_new, k + 1, alive & ok)
+
+    carry = (x, r, r, rs0, jnp.int32(1), jnp.bool_(True))
+    x, r, p, rs, k, alive = jax.lax.while_loop(cond, body, carry)
+    return x
+
+
 def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     """Solve A x = b. Returns x after at most `iterations` steps."""
     full_vals = values * op.mask[..., None, None]

@@ -64,3 +64,16 @@ def test_drag_pulls_vertices(scene):
     assert moved[0] > 0.01  # pulled toward the drag target
     sim.clear_drag()
     assert float(sim.state.drag_mask.sum()) == 0.0
+
+
+def test_matrix_free_matches_assembled(scene):
+    """jax.linearize Hessian-vector CG == assembled-ELL CG (same physics)."""
+    import jax
+    from fem_simulation_tpu.sim import dynamic as dyn
+    st = dyn.init_state(scene)
+    st1, k1, f1 = jax.jit(lambda p, s: dyn.step_to_tol(
+        scene, p, s, tol=1e-4, use_multigrid=False))(scene.params, st)
+    st2, k2, f2 = jax.jit(lambda p, s: dyn.step_to_tol(
+        scene, p, s, tol=1e-4, matrix_free=True))(scene.params, st)
+    assert int(k1) == int(k2)
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x), atol=1e-5)
