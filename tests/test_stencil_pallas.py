@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from fem_simulation_tpu import mesh as meshlib, hierarchy as hl
+from fem_simulation_tpu.ops import ell, elastic, stencil
+from fem_simulation_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture(scope="module")
+def system():
+    m = meshlib.beam(3, 4, 6, dx=0.1)
+    lvl = hl.build_level_topology(m.x, m.ijk, m.hexes, m.dx)
+    det, g, vol = elastic.prepare(jnp.asarray(lvl.x0), jnp.asarray(lvl.hexes))
+    x = jnp.asarray(lvl.x0) + 0.01
+    vals = elastic.assemble_hessian_ell_gather(
+        x, jnp.asarray(lvl.hexes), det, g, 250.0, 10.0,
+        jnp.asarray(lvl.contrib_idx),
+        jnp.asarray(lvl.contrib_mask.astype(np.float32)), lvl.n_verts, lvl.K)
+    mask = jnp.asarray(lvl.nbr_mask.astype(np.float32))
+    nbr = jnp.asarray(lvl.nbr)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(lvl.n_verts, 3)).astype(np.float32))
+    ref = ell.spmv(vals * mask[..., None, None], nbr, mask, b)
+    return lvl, vals, nbr, mask, b, ref
+
+
+def test_stencil_spmv_matches(system):
+    lvl, vals, nbr, mask, b, ref = system
+    lm = stencil.build_lattice_map(lvl)
+    assert lm[3] == pytest.approx(1.0)  # solid beam fills its bbox
+    vl = stencil.values_to_lattice(vals, nbr, mask, lvl, lm)
+    lat = jnp.asarray(lm[1])
+    xb = stencil.field_to_lattice(b, lat, lm[0])
+    got = stencil.field_from_lattice(stencil.spmv_stencil(vl, xb), lat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stencil_with_holes():
+    """Voxel shape with interior holes still matches the ELL SpMV."""
+    cells = np.array([[i, j, k] for i in range(3) for j in range(3)
+                      for k in range(5) if not (i == 1 and j == 1 and k == 2)])
+    m = meshlib.hex_mesh_from_cells(cells, 0.1, np.zeros(3))
+    lvl = hl.build_level_topology(m.x, m.ijk, m.hexes, m.dx)
+    det, g, _ = elastic.prepare(jnp.asarray(lvl.x0), jnp.asarray(lvl.hexes))
+    x = jnp.asarray(lvl.x0) + 0.02
+    vals = elastic.assemble_hessian_ell_gather(
+        x, jnp.asarray(lvl.hexes), det, g, 250.0, 0.0,
+        jnp.asarray(lvl.contrib_idx),
+        jnp.asarray(lvl.contrib_mask.astype(np.float32)), lvl.n_verts, lvl.K)
+    mask = jnp.asarray(lvl.nbr_mask.astype(np.float32))
+    nbr = jnp.asarray(lvl.nbr)
+    b = jnp.asarray(np.random.default_rng(1).normal(
+        size=(lvl.n_verts, 3)).astype(np.float32))
+    ref = ell.spmv(vals * mask[..., None, None], nbr, mask, b)
+    lm = stencil.build_lattice_map(lvl)
+    vl = stencil.values_to_lattice(vals, nbr, mask, lvl, lm)
+    lat = jnp.asarray(lm[1])
+    xb = stencil.field_to_lattice(b, lat, lm[0])
+    got = stencil.field_from_lattice(stencil.spmv_stencil(vl, xb), lat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_lanes_interpret_matches(system):
+    lvl, vals, nbr, mask, b, ref = system
+    got = pk.spmv(vals, nbr, mask, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
