@@ -32,10 +32,12 @@ def main():
     ap.add_argument("--beam", default="8,8,24")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-4)
-    ap.add_argument("--solver", default="matfree",
-                    choices=["matfree", "cg", "mg"],
-                    help="inner solver: matrix-free CG (default), assembled "
-                         "CG, or V-cycle multigrid")
+    ap.add_argument("--solver", default="lattice",
+                    choices=["lattice", "matfree", "cg", "mg"],
+                    help="stepping path: structured-lattice matrix-free CG "
+                         "(default; falls back to matfree when the mesh "
+                         "fills <60%% of its bounding box), unstructured "
+                         "matrix-free CG, assembled CG, or V-cycle")
     args = ap.parse_args()
 
     import jax
@@ -51,20 +53,45 @@ def main():
 
     shape = tuple(int(s) for s in args.beam.split(","))
     m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape)
-    scene = Scene(m, solver=SolverConfig(n_levels=2))
-    st0 = dynamic.init_state(scene)
 
-    def make_run(n):
-        @jax.jit
-        def run(p, st):
-            def body(st, _):
-                st2, k, fn = dynamic.step_to_tol(
-                    scene, p, st, tol=args.tol, max_newton=20,
-                    use_multigrid=(args.solver == "mg"),
-                    matrix_free=(args.solver == "matfree"))
-                return st2, fn
-            return jax.lax.scan(body, st, None, length=n)
-        return run
+    solver = args.solver
+    if solver == "lattice":
+        from fem_simulation_tpu.sim.lattice import LatticeScene
+        from fem_simulation_tpu.sim import lattice as latmod
+        lscene = LatticeScene(m)
+        if lscene.fill < 0.6:
+            solver = "matfree"   # sparse shape: lattice embedding wasteful
+
+    if solver == "lattice":
+        st0 = lscene.init_state()
+
+        def make_run(n):
+            @jax.jit
+            def run(p, st):
+                del p
+                def body(st, _):
+                    st2, k, fn = latmod.step_to_tol(lscene, st, tol=args.tol,
+                                                    max_newton=20)
+                    return st2, fn
+                return jax.lax.scan(body, st, None, length=n)
+            return run
+        params = None
+    else:
+        scene = Scene(m, solver=SolverConfig(n_levels=2))
+        st0 = dynamic.init_state(scene)
+        params = scene.params
+
+        def make_run(n):
+            @jax.jit
+            def run(p, st):
+                def body(st, _):
+                    st2, k, fn = dynamic.step_to_tol(
+                        scene, p, st, tol=args.tol, max_newton=20,
+                        use_multigrid=(solver == "mg"),
+                        matrix_free=(solver == "matfree"))
+                    return st2, fn
+                return jax.lax.scan(body, st, None, length=n)
+            return run
 
     n_small = max(args.frames // 5, 2)
     run_small = make_run(n_small)
@@ -72,12 +99,12 @@ def main():
 
     def timed(run):
         # warm-up (compile), then best-of-3 with forced host readback
-        out = run(scene.params, st0)
+        out = run(params, st0)
         _ = np.asarray(out[1])
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            st, fns = run(scene.params, st0)
+            st, fns = run(params, st0)
             fns = np.asarray(fns)          # axon tunnel: readback is the sync
             ts.append(time.perf_counter() - t0)
         return min(ts), fns

@@ -1,0 +1,151 @@
+"""Structured-lattice dynamic simulation: the single-chip speed-of-light path.
+
+Same physics as sim/dynamic.py (reference exp1/simulation render loop), but
+every field lives on the bounding vertex lattice (X, Y, Z, 3) and the elastic
+force / Hessian-vector products are pure stencil computations
+(ops.stencil.elastic_force_lattice): static shifted slices and adds, no
+gather or scatter anywhere in the hot loop. The Newton solve is matrix-free
+CG on jax.linearize JVPs.
+
+Best for meshes that fill a good fraction of their bounding box (the
+benchmark beam fills 100%); unstructured shapes fall back to sim/dynamic.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DynamicsConfig, MaterialConfig
+from ..ops import stencil, ell
+from ..solvers import cg as cgmod
+from .. import mesh as meshlib
+from .. import hierarchy as hl
+
+
+class LatState(NamedTuple):
+    x: jnp.ndarray   # (X, Y, Z, 3)
+    v: jnp.ndarray
+
+
+class LatticeScene:
+    """Lattice embedding of a voxel mesh + per-vertex fields."""
+
+    def __init__(self, mesh: meshlib.HexMesh,
+                 material: MaterialConfig = MaterialConfig(), pins=None):
+        self.mesh = mesh
+        self.material = material
+        lvl = hl.build_level_topology(mesh.x, mesh.ijk, mesh.hexes, mesh.dx)
+        self.lvl = lvl
+        self.shape, lat, vert_of_lat, self.fill = stencil.build_lattice_map(lvl)
+        self.lat = jnp.asarray(lat)
+
+        # cell mask from hex min corners
+        cell_shape = tuple(s - 1 for s in self.shape)
+        cmask = np.zeros(cell_shape, np.float32)
+        lo = lvl.ijk.min(axis=0)
+        cidx = lvl.ijk[lvl.hexes[:, 0].astype(np.int64)] - lo
+        cmask[cidx[:, 0], cidx[:, 1], cidx[:, 2]] = 1.0
+        self.cell_mask = jnp.asarray(cmask)
+
+        self.g_tab, self.det = stencil.lattice_material_tables(mesh.dx)
+
+        # vertex fields on the lattice
+        vmask = np.zeros(self.shape, np.float32)
+        vmask[lat[:, 0], lat[:, 1], lat[:, 2]] = 1.0
+        self.vert_mask = jnp.asarray(vmask)
+
+        # lumped mass: each corner of each real cell gets det*8 (cell volume)
+        cell_vol = float(self.det * 8.0) * material.density
+        m = np.zeros(self.shape, np.float32)
+        for (di, dj, dk) in stencil._CORNERS:
+            m[di:di + cell_shape[0], dj:dj + cell_shape[1],
+              dk:dk + cell_shape[2]] += cmask * cell_vol
+        self.mass = jnp.asarray(m)
+
+        self.x0 = stencil.field_to_lattice(jnp.asarray(lvl.x0), self.lat,
+                                           self.shape)
+        # pins: top slab by default (reference object.py:762-773)
+        if pins is None or len(pins) == 0:
+            y = lvl.x0[:, 1]
+            pin_ids = np.nonzero(y >= y.max() - mesh.dx - 1e-5)[0]
+        else:
+            # pins given in original mesh vertex order -> canonical
+            perm, _ = hl.color_sort(mesh.ijk)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.size)
+            pin_ids = inv[np.asarray(pins, np.int64)]
+        pm = np.zeros(self.shape, np.float32)
+        pl = lat[pin_ids]
+        pm[pl[:, 0], pl[:, 1], pl[:, 2]] = 1.0
+        self.pin_mask = jnp.asarray(pm)
+        self.pin_pos = self.x0
+
+    def init_state(self) -> LatState:
+        return LatState(x=self.x0, v=jnp.zeros_like(self.x0))
+
+    # residual force of the implicit step at x, given predictor x_tilde
+    def dyn_force(self, x, x_tilde, inv_dt, drag_mask=None, drag_pos=None):
+        mat = self.material
+        f = stencil.elastic_force_lattice(x, self.cell_mask, self.g_tab,
+                                          self.det, mat.lame_mu, mat.lame_la)
+        f = f.at[..., 1].add(self.mass * mat.gravity)
+        f = f + mat.control_mag * self.pin_mask[..., None] * (self.pin_pos - x)
+        if drag_mask is not None:
+            f = f + mat.control_mag * drag_mask[..., None] * (drag_pos - x)
+        f = f - (self.mass * inv_dt * inv_dt)[..., None] * (x - x_tilde)
+        return f * self.vert_mask[..., None]
+
+
+def step_to_tol(scene: LatticeScene, st: LatState,
+                dyn: DynamicsConfig = DynamicsConfig(),
+                tol: float = 1e-4, max_newton: int = 20,
+                cg_iterations: int = 5, cg_tol: float = 1e-5):
+    """One frame: predictor + matrix-free Newton-CG until ||f||_inf <= tol."""
+    inv_dt = 1.0 / dyn.dt
+    x_old = st.x
+    v = st.v * dyn.damping
+    x = st.x + v * dyn.dt
+    x_tilde = x
+
+    def resid(xx):
+        return scene.dyn_force(xx, x_tilde, inv_dt)
+
+    def cond(c):
+        xx, k, fn = c
+        return (fn > tol) & (k < max_newton)
+
+    def body(c):
+        xx, k, _ = c
+        f = resid(xx)
+        _, jvp_fn = jax.linearize(resid, xx)
+        dx = cgmod.cg_operator(lambda p: -jvp_fn(p), f,
+                               iterations=cg_iterations, tol=cg_tol)
+        xx = xx + dx * scene.vert_mask[..., None]
+        return (xx, k + 1, ell.inf_norm(resid(xx)))
+
+    x, k, fn = jax.lax.while_loop(cond, body,
+                                  (x, jnp.int32(0), ell.inf_norm(resid(x))))
+    v = (x - x_old) * inv_dt
+    return LatState(x=x, v=v), k, fn
+
+
+class LatticeDynamicSim:
+    def __init__(self, mesh: meshlib.HexMesh,
+                 material: MaterialConfig = MaterialConfig(),
+                 dyn: DynamicsConfig = DynamicsConfig(), pins=None):
+        self.scene = LatticeScene(mesh, material, pins=pins)
+        self.dyn = dyn
+        self.state = self.scene.init_state()
+
+    def positions(self):
+        """Current positions in canonical (color-sorted) vertex order."""
+        return stencil.field_from_lattice(self.state.x, self.scene.lat)
+
+    def frame_to_tol(self, tol=1e-4, max_newton=20):
+        fn = jax.jit(lambda s: step_to_tol(self.scene, s, self.dyn, tol,
+                                           max_newton))
+        self.state, k, f = fn(self.state)
+        return self.state, k, f

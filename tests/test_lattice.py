@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.config import SolverConfig
+from fem_simulation_tpu.sim import Scene, dynamic
+from fem_simulation_tpu.sim.lattice import LatticeScene, LatticeDynamicSim, step_to_tol
+from fem_simulation_tpu.ops import stencil, elastic
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    return meshlib.beam(4, 4, 8, dx=0.1)
+
+
+def test_lattice_force_matches_unstructured(meshes):
+    m = meshes
+    scene_u = Scene(m, solver=SolverConfig(n_levels=1))
+    scene_l = LatticeScene(m)
+    rng = np.random.default_rng(0)
+    x = scene_u.x0 + 0.02 * jnp.asarray(
+        rng.normal(size=scene_u.x0.shape).astype(np.float32))
+
+    # unstructured elastic force
+    p0 = scene_u.params["levels"][0]
+    f_u = elastic.force(x, p0["hexes"], p0["det"], p0["g"], 250.0, 0.0,
+                        x.shape[0])
+    # lattice elastic force (same canonical ordering via lat map)
+    x_lat = stencil.field_to_lattice(x, scene_l.lat, scene_l.shape)
+    f_lat = stencil.elastic_force_lattice(x_lat, scene_l.cell_mask,
+                                          scene_l.g_tab, scene_l.det,
+                                          250.0, 0.0)
+    f_l = stencil.field_from_lattice(f_lat, scene_l.lat)
+    np.testing.assert_allclose(np.asarray(f_l), np.asarray(f_u),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_lattice_energy_matches(meshes):
+    m = meshes
+    scene_u = Scene(m, solver=SolverConfig(n_levels=1))
+    scene_l = LatticeScene(m)
+    rng = np.random.default_rng(1)
+    x = scene_u.x0 + 0.02 * jnp.asarray(
+        rng.normal(size=scene_u.x0.shape).astype(np.float32))
+    p0 = scene_u.params["levels"][0]
+    e_u = elastic.energy(x, p0["hexes"], p0["det"], p0["g"], 250.0, 5.0)
+    x_lat = stencil.field_to_lattice(x, scene_l.lat, scene_l.shape)
+    e_l = stencil.elastic_energy_lattice(x_lat, scene_l.cell_mask,
+                                         scene_l.g_tab, scene_l.det,
+                                         250.0, 5.0)
+    assert float(e_l) == pytest.approx(float(e_u), rel=1e-4)
+
+
+def test_lattice_mass_and_pins_match(meshes):
+    m = meshes
+    scene_u = Scene(m, solver=SolverConfig(n_levels=1))
+    scene_l = LatticeScene(m)
+    p0 = scene_u.params["levels"][0]
+    m_l = stencil.field_from_lattice(scene_l.mass[..., None],
+                                     scene_l.lat)[:, 0]
+    np.testing.assert_allclose(np.asarray(m_l), np.asarray(p0["mass"]),
+                               rtol=1e-4)
+    pin_l = stencil.field_from_lattice(scene_l.pin_mask[..., None],
+                                       scene_l.lat)[:, 0]
+    np.testing.assert_allclose(np.asarray(pin_l), np.asarray(p0["pin_mask"]))
+
+
+def test_lattice_step_matches_unstructured(meshes):
+    """One tolerance-solved frame agrees with the unstructured matfree path."""
+    m = meshes
+    scene_u = Scene(m, solver=SolverConfig(n_levels=1))
+    st_u = dynamic.init_state(scene_u)
+    st1, k1, f1 = jax.jit(lambda s: dynamic.step_to_tol(
+        scene_u, scene_u.params, s, tol=1e-4, matrix_free=True))(st_u)
+
+    sim = LatticeDynamicSim(m)
+    st2, k2, f2 = sim.frame_to_tol(tol=1e-4)
+    x2 = np.asarray(sim.positions())
+    np.testing.assert_allclose(x2, np.asarray(st1.x), atol=2e-5)
+    assert float(f2) <= 1e-4
+
+
+def test_lattice_sim_stable(meshes):
+    sim = LatticeDynamicSim(meshes)
+    for _ in range(5):
+        st, k, f = sim.frame_to_tol()
+        assert float(f) <= 1e-4
+    assert np.isfinite(np.asarray(st.x)).all()
