@@ -32,6 +32,8 @@ class SolverConfig:
     max_levels: int = 3
     gs_iterations: int = 3           # smoother sweeps inside a V-cycle level
     cg_iterations: int = 5
+    pcg_iterations: int = 60     # matrix-free block-Jacobi PCG budget
+    pcg_tol: float = 1e-2        # inexact-Newton inner tolerance (relative)
     cg_tol: float = 1e-5
     coarse_cg_iterations: int = 10
     jacobi_iterations: int = 1

@@ -186,6 +186,25 @@ def assemble_hessian_ell_gather(x, hexes, det, g, mu, la,
     return vals.reshape(n_verts, K, 3, 3)
 
 
+def hessian_diag(x, hexes, det, g, mu, la, n_verts) -> jnp.ndarray:
+    """Vertex-diagonal 3x3 blocks of the elastic Hessian only (a=b slice of
+    hessian_blocks): H_aa = sum_q det ( (g_a^T M g_a) I + mu u_a u_a^T
+    + mu |g_a|^2 F F^T + la u_a u_a^T ). Cheap (8 blocks/hex vs 64) —
+    feeds the block-Jacobi preconditioner of the matrix-free CG."""
+    F = _deformation(x, hexes, g)
+    _, E, M = _pk1(F, mu, la)
+    u = _einsum("hqrc,hqic->hqir", F, g)
+    s1 = _einsum("hqic,hqcd,hqid->hqi", g, M, g)
+    gg = _einsum("hqic,hqic->hqi", g, g)
+    C = _einsum("hqrc,hqsc->hqrs", F, F)
+    eye = jnp.eye(3, dtype=x.dtype)
+    Hd = _einsum("hq,hqa,ji->haji", det, s1, eye)
+    Hd += (mu + la) * _einsum("hq,hqaj,hqai->haji", det, u, u)
+    Hd += mu * _einsum("hq,hqa,hqji->haji", det, gg, C)
+    out = jnp.zeros((n_verts, 3, 3), dtype=x.dtype)
+    return out.at[hexes.reshape(-1)].add(Hd.reshape(-1, 3, 3))
+
+
 # ---------------------------------------------------------------------------
 # Simple per-vertex energy terms (gravity, pins, inertia)
 # ---------------------------------------------------------------------------

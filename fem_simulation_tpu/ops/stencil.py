@@ -153,3 +153,29 @@ def elastic_energy_lattice(x_lat, cell_mask, g, det, mu, la):
     trE = jnp.trace(E, axis1=-2, axis2=-1)
     psi = mu * jnp.sum(E * E, axis=(-2, -1)) + 0.5 * la * trE * trE
     return jnp.sum(psi * cell_mask[..., None] * det)
+
+
+def elastic_hessian_diag_lattice(x_lat, cell_mask, g, det, mu, la):
+    """Vertex-diagonal 3x3 Hessian blocks on the lattice (stencil form of
+    ops.elastic.hessian_diag): 8 shifted adds of per-cell corner blocks."""
+    xs = _cell_slices(x_lat)
+    F = sum(_einsum("xyzr,qd->xyzqrd", xs[i], g[i]) for i in range(8))
+    Ft = jnp.swapaxes(F, -1, -2)
+    E = 0.5 * (_einsum("xyzqab,xyzqbc->xyzqac", Ft, F)
+               - jnp.eye(3, dtype=x_lat.dtype))
+    trE = jnp.trace(E, axis1=-2, axis2=-1)
+    M = 2.0 * mu * E + la * trE[..., None, None] * jnp.eye(3, dtype=x_lat.dtype)
+    C = _einsum("xyzqrc,xyzqsc->xyzqrs", F, F)
+    X, Y, Z, _ = x_lat.shape
+    out = jnp.zeros(x_lat.shape[:3] + (3, 3), x_lat.dtype)
+    eye = jnp.eye(3, dtype=x_lat.dtype)
+    cm = cell_mask[..., None, None]
+    for i, (di, dj, dk) in enumerate(_CORNERS):
+        u = _einsum("xyzqrc,qc->xyzqr", F, g[i])          # u_i = F g_i
+        s1 = _einsum("qc,xyzqcd,qd->xyzq", g[i], M, g[i])
+        gg_q = _einsum("qc,qc->q", g[i], g[i])
+        Hd = det * (_einsum("xyzq,ji->xyzji", s1, eye)
+                    + (mu + la) * _einsum("xyzqj,xyzqi->xyzji", u, u)
+                    + mu * _einsum("q,xyzqji->xyzji", gg_q, C))
+        out = out.at[di:di + X - 1, dj:dj + Y - 1, dk:dk + Z - 1].add(Hd * cm)
+    return out

@@ -119,19 +119,37 @@ def step_to_tol(scene: Scene, params, st: DynState,
         xx, k, fn = carry
         return (fn > tol) & (k < max_newton)
 
+    p0 = params["levels"][0]
+    mat = scene.material
+
     def body(carry):
         xx, k, _ = carry
         f = resid(xx)
         if matrix_free:
             _, jvp_fn = jax.linearize(resid, xx)
-            dx = cgmod.cg_operator(lambda p: -jvp_fn(p), f,
-                                   iterations=scene.solver.cg_iterations,
-                                   tol=scene.solver.cg_tol)
+            # block-Jacobi preconditioner: elastic diag + control + mass
+            diag = elastic.hessian_diag(xx, p0["hexes"], p0["det"], p0["g"],
+                                        mat.lame_mu, mat.lame_la, xx.shape[0])
+            ctrl = (mat.control_mag * jnp.maximum(p0["pin_mask"], st.drag_mask)
+                    + p0["mass"] * inv_dt * inv_dt)
+            diag = diag + ctrl[:, None, None] * jnp.eye(3, dtype=xx.dtype)
+            minv = lambda r: ell.solve3x3(diag, r)
+            dx = cgmod.pcg_operator(lambda p: -jvp_fn(p), minv, f,
+                                    iterations=scene.solver.pcg_iterations,
+                                    tol=scene.solver.pcg_tol)
         elif use_multigrid:
+            # MG-preconditioned CG: one V-cycle (symmetric GS smoothing, so
+            # the preconditioner is SPD) as M^{-1} inside PCG — O(1)-ish
+            # iteration counts independent of mesh diameter.
             vals = _dyn_hessian(scene, params, st, xx, inv_dt)
             values = qs.galerkin_chain(scene, params, vals)
-            dx = qs.vcycle(scene, params, values, f,
-                           gs_iterations=scene.solver.gs_iterations)
+            full0 = values[0] * op.mask[..., None, None]
+            matvec = lambda p: ell.spmv(full0, op.nbr, op.mask, p)
+            minv = lambda r: qs.vcycle(scene, params, values, r,
+                                       gs_iterations=1)
+            dx = cgmod.pcg_operator(matvec, minv, f,
+                                    iterations=scene.solver.cg_iterations * 2,
+                                    tol=scene.solver.pcg_tol)
         else:
             vals = _dyn_hessian(scene, params, st, xx, inv_dt)
             dx = cgmod.cg(op, vals, f, iterations=scene.solver.cg_iterations,

@@ -102,9 +102,10 @@ class LatticeScene:
 def step_to_tol(scene: LatticeScene, st: LatState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
-                cg_iterations: int = 5, cg_tol: float = 1e-5):
-    """One frame: predictor + matrix-free Newton-CG until ||f||_inf <= tol."""
+                cg_iterations: int = 60, cg_tol: float = 1e-2):
+    """One frame: predictor + matrix-free Newton with block-Jacobi PCG."""
     inv_dt = 1.0 / dyn.dt
+    mat = scene.material
     x_old = st.x
     v = st.v * dyn.damping
     x = st.x + v * dyn.dt
@@ -117,12 +118,23 @@ def step_to_tol(scene: LatticeScene, st: LatState,
         xx, k, fn = c
         return (fn > tol) & (k < max_newton)
 
+    eye = jnp.eye(3, dtype=st.x.dtype)
+    ctrl = (mat.control_mag * scene.pin_mask
+            + scene.mass * inv_dt * inv_dt
+            # empty lattice rows get identity so the 3x3 solve is benign
+            + (1.0 - scene.vert_mask))
+
     def body(c):
         xx, k, _ = c
         f = resid(xx)
         _, jvp_fn = jax.linearize(resid, xx)
-        dx = cgmod.cg_operator(lambda p: -jvp_fn(p), f,
-                               iterations=cg_iterations, tol=cg_tol)
+        diag = stencil.elastic_hessian_diag_lattice(
+            xx, scene.cell_mask, scene.g_tab, scene.det,
+            mat.lame_mu, mat.lame_la)
+        diag = diag + ctrl[..., None, None] * eye
+        minv = lambda r: ell.solve3x3(diag, r) * scene.vert_mask[..., None]
+        dx = cgmod.pcg_operator(lambda p: -jvp_fn(p), minv, f,
+                                iterations=cg_iterations, tol=cg_tol)
         xx = xx + dx * scene.vert_mask[..., None]
         return (xx, k + 1, ell.inf_norm(resid(xx)))
 

@@ -56,6 +56,43 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     return x
 
 
+def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5):
+    """Preconditioned CG on an abstract operator.
+
+    minv: callable applying the preconditioner (e.g. a batched 3x3 block-
+    diagonal solve). Tolerance is relative on ||r||^2 like the reference CG.
+    """
+    x = jnp.zeros_like(b)
+    r = b
+    z = minv(r)
+    p = z
+    rz = ell.vdot(r, z)
+    rr0 = ell.vdot(r, r)
+
+    def cond(carry):
+        x, r, p, z, rz, k, alive = carry
+        rr = ell.vdot(r, r)
+        return alive & (k <= iterations) & (rr > tol * rr0) & (rr0 > EPSILON)
+
+    def body(carry):
+        x, r, p, z, rz, k, alive = carry
+        ap = matvec(p)
+        pap = ell.vdot(p, ap)
+        ok = pap >= 1e-12
+        alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = minv(r)
+        rz_new = ell.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, z, rz_new, k + 1, alive & ok)
+
+    carry = (x, r, p, z, rz, jnp.int32(1), jnp.bool_(True))
+    out = jax.lax.while_loop(cond, body, carry)
+    return out[0]
+
+
 def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     """Solve A x = b. Returns x after at most `iterations` steps."""
     full_vals = values * op.mask[..., None, None]

@@ -67,7 +67,9 @@ def test_drag_pulls_vertices(scene):
 
 
 def test_matrix_free_matches_assembled(scene):
-    """jax.linearize Hessian-vector CG == assembled-ELL CG (same physics)."""
+    """jax.linearize Hessian-vector PCG solves the same physics as the
+    assembled-ELL CG path (fewer Newton iterations thanks to the block-Jacobi
+    preconditioner; both states satisfy the tolerance)."""
     import jax
     from fem_simulation_tpu.sim import dynamic as dyn
     st = dyn.init_state(scene)
@@ -75,5 +77,6 @@ def test_matrix_free_matches_assembled(scene):
         scene, p, s, tol=1e-4, use_multigrid=False))(scene.params, st)
     st2, k2, f2 = jax.jit(lambda p, s: dyn.step_to_tol(
         scene, p, s, tol=1e-4, matrix_free=True))(scene.params, st)
-    assert int(k1) == int(k2)
-    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x), atol=1e-5)
+    assert float(f1) <= 1e-4 and float(f2) <= 1e-4
+    assert int(k2) <= int(k1)  # PCG should not be weaker
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x), atol=1e-3)
