@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--solver", default="lattice",
-                    choices=["lattice", "matfree", "cg", "mg"],
+                    choices=["lattice", "latmg", "matfree", "cg", "mg"],
                     help="stepping path: structured-lattice matrix-free CG "
                          "(default; falls back to matfree when the mesh "
                          "fills <60%% of its bounding box), unstructured "
@@ -55,23 +55,31 @@ def main():
     m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape)
 
     solver = args.solver
-    if solver == "lattice":
+    if solver in ("lattice", "latmg"):
         from fem_simulation_tpu.sim.lattice import LatticeScene
         from fem_simulation_tpu.sim import lattice as latmod
         lscene = LatticeScene(m)
         if lscene.fill < 0.6:
             solver = "matfree"   # sparse shape: lattice embedding wasteful
 
-    if solver == "lattice":
+    if solver in ("lattice", "latmg"):
         st0 = lscene.init_state()
+        if solver == "latmg":
+            from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
+            lmg = LatticeMG(lscene, n_levels=3)
 
         def make_run(n):
             @jax.jit
             def run(p, st):
                 del p
                 def body(st, _):
-                    st2, k, fn = latmod.step_to_tol(lscene, st, tol=args.tol,
-                                                    max_newton=20)
+                    if solver == "latmg":
+                        st2, k, fn = step_to_tol_mg(lscene, lmg, st,
+                                                    tol=args.tol, max_newton=20)
+                    else:
+                        st2, k, fn = latmod.step_to_tol(lscene, st,
+                                                        tol=args.tol,
+                                                        max_newton=20)
                     return st2, fn
                 return jax.lax.scan(body, st, None, length=n)
             return run

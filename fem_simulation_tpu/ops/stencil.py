@@ -179,3 +179,41 @@ def elastic_hessian_diag_lattice(x_lat, cell_mask, g, det, mu, la):
                     + mu * _einsum("q,xyzqji->xyzji", gg_q, C))
         out = out.at[di:di + X - 1, dj:dj + Y - 1, dk:dk + Z - 1].add(Hd * cm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Structured multigrid transfers: separable trilinear stencils
+# ---------------------------------------------------------------------------
+# On the lattice, trilinear prolongation is zero-interleaving followed by a
+# separable [1/2, 1, 1/2] convolution per axis; restriction (hat) is its
+# exact adjoint: convolve, then take every other sample. Requires odd grid
+# dims (pad the lattice map up front). No gather/scatter anywhere.
+
+def _conv_half(x, axis):
+    """y = x + 0.5 * (shift_left + shift_right) along `axis` (zero BCs)."""
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(1, None)
+    hi[axis] = slice(None, -1)
+    y = x
+    y = y.at[tuple(hi)].add(0.5 * x[tuple(lo)])
+    y = y.at[tuple(lo)].add(0.5 * x[tuple(hi)])
+    return y
+
+
+def prolong_lat(xc):
+    """(Xc, Yc, Zc, C) -> (2Xc-1, 2Yc-1, 2Zc-1, C) trilinear prolongation."""
+    Xc, Yc, Zc, C = xc.shape
+    z = jnp.zeros((2 * Xc - 1, 2 * Yc - 1, 2 * Zc - 1, C), xc.dtype)
+    z = z.at[::2, ::2, ::2].set(xc)
+    for ax in range(3):
+        z = _conv_half(z, ax)
+    return z
+
+
+def restrict_lat(xf):
+    """Adjoint of prolong_lat ("hat" restriction): convolve then subsample."""
+    y = xf
+    for ax in range(3):
+        y = _conv_half(y, ax)
+    return y[::2, ::2, ::2]

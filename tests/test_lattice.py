@@ -88,3 +88,27 @@ def test_lattice_sim_stable(meshes):
         st, k, f = sim.frame_to_tol()
         assert float(f) <= 1e-4
     assert np.isfinite(np.asarray(st.x)).all()
+
+
+def test_lattice_mg_step(meshes):
+    """GMG-preconditioned step converges and matches the plain-PCG step."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene
+    from fem_simulation_tpu.sim import lattice as latmod
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
+    scene = LatticeScene(meshes)
+    mg = LatticeMG(scene, n_levels=2)
+    st = scene.init_state()
+    st1, k1, f1 = jax.jit(lambda s: latmod.step_to_tol(scene, s, tol=1e-4))(st)
+    st2, k2, f2 = jax.jit(lambda s: step_to_tol_mg(scene, mg, s, tol=1e-4))(st)
+    assert float(f2) <= 1e-4
+    np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x), atol=1e-3)
+
+
+def test_lattice_transfers_adjoint():
+    from fem_simulation_tpu.ops import stencil
+    rng = np.random.default_rng(3)
+    xc = jnp.asarray(rng.normal(size=(5, 4, 7, 3)).astype(np.float32))
+    xf = jnp.asarray(rng.normal(size=(9, 7, 13, 3)).astype(np.float32))
+    a = float(jnp.sum(stencil.prolong_lat(xc) * xf))
+    b = float(jnp.sum(xc * stencil.restrict_lat(xf)))
+    assert a == pytest.approx(b, rel=1e-5)
