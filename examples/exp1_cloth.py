@@ -2,6 +2,11 @@
 
 Equivalent of /root/reference/exp1/cloth_simulation/main.py.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -3,6 +3,11 @@
 Equivalent of /root/reference/exp1/simulation/main.py (win.loop(obj.render))
 — headless: runs frames, scripts a drag interaction, writes a GIF.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -4,6 +4,11 @@ Equivalent of /root/reference/exp1/quasi_simulation/main.py — construct the
 scene, run a solver, plot convergence. Use --mesh path/to.obj to voxelize an
 OBJ like the reference (dragon.obj); default is the bundled procedural beam.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

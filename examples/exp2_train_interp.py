@@ -2,6 +2,11 @@
 
 Equivalent of /root/reference/exp2/{P,p_hat}/quasi_simulation/main.py.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from fem_simulation_tpu import mesh as meshlib

@@ -124,11 +124,15 @@ class ClothScene:
 class ClothState(NamedTuple):
     x: jnp.ndarray
     v: jnp.ndarray
+    drag_mask: jnp.ndarray   # (N,) 1.0 where grabbed (reference more_fixed)
+    drag_pos: jnp.ndarray    # (N, 3) grab targets
 
 
 def init_state(scene: ClothScene) -> ClothState:
-    return ClothState(x=scene.params["x0"],
-                      v=jnp.zeros_like(scene.params["x0"]))
+    x0 = scene.params["x0"]
+    return ClothState(x=x0, v=jnp.zeros_like(x0),
+                      drag_mask=jnp.zeros(x0.shape[0], x0.dtype),
+                      drag_pos=x0)
 
 
 def step(scene: ClothScene, params, st: ClothState,
@@ -145,20 +149,22 @@ def step(scene: ClothScene, params, st: ClothState,
         x, params["edges"], params["l0"], cfg.k, params["edge_slot"],
         scene.n_verts, scene.K)
     diag = ((params["mass"] * inv_dt * inv_dt
-             + cfg.control_mag * params["pin_mask"])[:, None, None]
+             + cfg.control_mag * jnp.maximum(params["pin_mask"],
+                                             st.drag_mask))[:, None, None]
             * jnp.eye(3, dtype=x.dtype))
     vals = ell.add_to_diag(vals, params["diag_slot"], diag)
 
     f = spring.force(x, params["edges"], params["l0"], cfg.k, scene.n_verts)
     f = f.at[:, 1].add(params["mass"] * gravity)
     f = f + cfg.control_mag * params["pin_mask"][:, None] * (params["pin_pos"] - x)
+    f = f + cfg.control_mag * st.drag_mask[:, None] * (st.drag_pos - x)
     f = f + -(params["mass"] * inv_dt * inv_dt)[:, None] * (x - x_tilde)
 
     op = scene.make_op()
     dx = cgmod.cg(op, vals, f, iterations=5, tol=1e-5)
     x = x + dx
     v = (x - x_old) * inv_dt
-    return ClothState(x=x, v=v)
+    return st._replace(x=x, v=v)
 
 
 class ClothSim:
@@ -170,3 +176,26 @@ class ClothSim:
     def frame(self) -> ClothState:
         self.state = self._step(self.scene.params, self.state)
         return self.state
+
+    def set_drag(self, mask, targets):
+        self.state = self.state._replace(
+            drag_mask=jnp.asarray(mask, dtype=self.state.x.dtype),
+            drag_pos=jnp.asarray(targets, dtype=self.state.x.dtype))
+
+    def clear_drag(self):
+        self.state = self.state._replace(
+            drag_mask=jnp.zeros_like(self.state.drag_mask))
+
+    def triangles(self):
+        """Render/pick triangles of the cloth grid (2 per quad)."""
+        import numpy as np
+        rx, ry = self.scene.cfg.res_x, self.scene.cfg.res_y
+        tris = []
+        for i in range(ry):
+            for j in range(rx):
+                a = i * (rx + 1) + j
+                b = a + 1
+                c = a + (rx + 1)
+                d = c + 1
+                tris += [[a, b, c], [b, d, c]]
+        return np.asarray(tris, np.int32)

@@ -48,7 +48,12 @@ class Picker:
                  grab_radius2: float = 0.002, max_drag: float = 0.5):
         self.sim = sim
         self.scene = sim.scene
-        self.tris = self.scene.hier.mesh2idx[tris_mesh_order]  # canonical ids
+        if hasattr(self.scene, "hier"):     # FEM scene: remap to canonical ids
+            self.tris = self.scene.hier.mesh2idx[tris_mesh_order]
+            self._pin = np.asarray(self.scene.params["levels"][0]["pin_mask"])
+        else:                                # cloth: identity ordering
+            self.tris = np.asarray(tris_mesh_order)
+            self._pin = np.asarray(self.scene.params["pin_mask"])
         self.grab_radius2 = grab_radius2
         self.max_drag = max_drag
         self.select_vertex = -1
@@ -90,8 +95,7 @@ class Picker:
         if n > self.max_drag:
             drag = drag * (self.max_drag / n)
         d2 = np.einsum("ij,ij->i", x - sel[None, :], x - sel[None, :])
-        pin = np.asarray(self.scene.params["levels"][0]["pin_mask"])
-        mask = ((d2 < self.grab_radius2) & (pin == 0)).astype(np.float32)
+        mask = ((d2 < self.grab_radius2) & (self._pin == 0)).astype(np.float32)
         targets = x + drag[None, :]
         self.sim.set_drag(mask, targets)
 

@@ -74,3 +74,20 @@ def test_cloth_pins_hold():
     # pinned corners stay near their targets; the middle sags
     assert np.linalg.norm(x[pins] - x0[pins], axis=-1).max() < 0.2
     assert x[:, 1].min() < x0[:, 1].min() - 0.05
+
+
+def test_cloth_drag_and_picker():
+    from fem_simulation_tpu.sim.picking import Picker
+    sim = ClothSim(ClothConfig(res_x=8, res_y=8), pins=[0, 8])
+    pk = Picker(sim, sim.triangles(), grab_radius2=0.01)
+    # ray straight down onto the cloth center
+    origin = np.array([0.5, 2.0, 0.5])
+    assert pk.select(origin, np.array([0.0, -1.0, 0.0]))
+    pk.move_select(origin + np.array([0.1, 0.0, 0.0]),
+                   np.array([0.0, -1.0, 0.0]))
+    assert float(sim.state.drag_mask.sum()) > 0
+    for _ in range(10):
+        st = sim.frame()
+    assert np.isfinite(np.asarray(st.x)).all()
+    pk.clear()
+    assert float(sim.state.drag_mask.sum()) == 0
