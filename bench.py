@@ -30,8 +30,11 @@ def main():
     ap.add_argument("--mesh", default=None, help="OBJ path (default: procedural beam)")
     ap.add_argument("--dx", type=float, default=0.05)
     ap.add_argument("--beam", default="8,8,24")
-    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--precise", action="store_true",
+                    help="two-scan-length timing (removes the per-dispatch "
+                         "tunnel latency exactly, at 2x compile cost)")
     ap.add_argument("--solver", default="lattice",
                     choices=["lattice", "latmg", "matfree", "cg", "mg"],
                     help="stepping path: structured-lattice matrix-free CG "
@@ -101,27 +104,41 @@ def main():
                 return jax.lax.scan(body, st, None, length=n)
             return run
 
-    n_small = max(args.frames // 5, 2)
-    run_small = make_run(n_small)
-    run_big = make_run(args.frames)
+    if args.precise:
+        # two scan lengths; per-frame time = slope (removes dispatch exactly)
+        n_small = max(args.frames // 5, 2)
+        run_small = make_run(n_small)
+        run_big = make_run(args.frames)
 
-    def timed(run):
-        # warm-up (compile), then best-of-3 with forced host readback
+        def timed(run):
+            out = run(params, st0)
+            _ = np.asarray(out[1])
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                st, fns = run(params, st0)
+                fns = np.asarray(fns)      # axon tunnel: readback is the sync
+                ts.append(time.perf_counter() - t0)
+            return min(ts), fns
+
+        t_small, _ = timed(run_small)
+        t_big, fns = timed(run_big)
+        ms = (t_big - t_small) / (args.frames - n_small) * 1000.0
+    else:
+        # one compiled program (halves TPU compile time); the single ~35 ms
+        # dispatch is amortized across the frames (slightly conservative)
+        run = make_run(args.frames)
         out = run(params, st0)
-        _ = np.asarray(out[1])
-        ts = []
+        _ = np.asarray(out[1])             # warm-up/compile
+        best = None
         for _ in range(3):
             t0 = time.perf_counter()
             st, fns = run(params, st0)
             fns = np.asarray(fns)          # axon tunnel: readback is the sync
-            ts.append(time.perf_counter() - t0)
-        return min(ts), fns
-
-    t_small, _ = timed(run_small)
-    t_big, fns = timed(run_big)
+            dt_ = time.perf_counter() - t0
+            best = dt_ if best is None else min(best, dt_)
+        ms = best / args.frames * 1000.0
     assert fns.max() <= args.tol * 1.01, f"tolerance missed: {fns.max():.3e}"
-
-    ms = (t_big - t_small) / (args.frames - n_small) * 1000.0
     print(json.dumps({
         "metric": "ms_per_timestep_to_f_inf_1e-4",
         "value": round(ms, 3),

@@ -53,11 +53,12 @@ class LatticeMG:
 
     def __init__(self, scene: LatticeScene, n_levels: int = 3,
                  omega: float = 0.6, nu: int = 2, coarse_sweeps: int = 12,
-                 dt: float = DynamicsConfig().dt):
+                 dt: float = DynamicsConfig().dt, chebyshev: bool = True):
         self.scene = scene
         self.omega = omega
         self.nu = nu
         self.coarse_sweeps = coarse_sweeps
+        self.chebyshev = chebyshev
         mat = scene.material
 
         levels = []
@@ -166,9 +167,43 @@ class LatticeMG:
 
     # -- V-cycle preconditioner ---------------------------------------------
     def _smooth(self, matvec, diag, vmask, b, x, sweeps):
+        if self.chebyshev:
+            return self._smooth_cheby(matvec, diag, vmask, b, x, sweeps)
         for _ in range(sweeps):
             r = b - matvec(x)
             x = x + self.omega * ell.solve3x3(diag, r) * vmask
+        return x
+
+    def _est_lmax(self, matvec, diag, vmask, iters: int = 6):
+        """Power iteration on D^{-1}A for the Chebyshev upper bound."""
+        v = vmask * jnp.broadcast_to(
+            jnp.sin(jnp.arange(vmask.size, dtype=jnp.float32)).reshape(
+                vmask.shape[:3] + (1,)), vmask.shape[:3] + (3,))
+        lam = jnp.float32(2.0)
+        for _ in range(iters):
+            w = ell.solve3x3(diag, matvec(v)) * vmask
+            lam = jnp.sqrt(jnp.sum(w * w) / jnp.maximum(jnp.sum(v * v), 1e-30))
+            v = w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+        return lam * 1.1
+
+    def _smooth_cheby(self, matvec, diag, vmask, b, x, degree):
+        """Chebyshev smoother on D^{-1}A targeting [lmax/alpha, lmax]
+        (standard MG smoothing band, alpha=4)."""
+        lmax = self._est_lmax(matvec, diag, vmask)
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        z = ell.solve3x3(diag, b - matvec(x)) * vmask
+        d = z / theta
+        x = x + d
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            z = ell.solve3x3(diag, b - matvec(x)) * vmask
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+            x = x + d
+            rho = rho_new
         return x
 
     def vcycle(self, ops, b, level: int = 0):

@@ -56,7 +56,8 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     return x
 
 
-def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5):
+def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
+                 return_iters: bool = False):
     """Preconditioned CG on an abstract operator.
 
     minv: callable applying the preconditioner (e.g. a batched 3x3 block-
@@ -90,6 +91,8 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5):
 
     carry = (x, r, p, z, rz, jnp.int32(1), jnp.bool_(True))
     out = jax.lax.while_loop(cond, body, carry)
+    if return_iters:
+        return out[0], out[5]
     return out[0]
 
 

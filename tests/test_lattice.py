@@ -112,3 +112,18 @@ def test_lattice_transfers_adjoint():
     a = float(jnp.sum(stencil.prolong_lat(xc) * xf))
     b = float(jnp.sum(xc * stencil.restrict_lat(xf)))
     assert a == pytest.approx(b, rel=1e-5)
+
+
+def test_lattice_step_pallas_interpret_matches(meshes):
+    """Pallas (interpret) stepping == XLA stepping."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene
+    from fem_simulation_tpu.sim import lattice as latmod
+    scene = LatticeScene(meshes)
+    st = scene.init_state()
+    st1, k1, f1 = jax.jit(lambda s: latmod.step_to_tol(
+        scene, s, tol=1e-4, use_pallas=False))(st)
+    st2, k2, f2 = jax.jit(lambda s: latmod.step_to_tol(
+        scene, s, tol=1e-4, use_pallas=True))(st)
+    np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
+                               atol=2e-5)
+    assert float(f2) <= 1e-4
