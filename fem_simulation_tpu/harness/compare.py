@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..sim import Scene, QuasiStaticSim
+from ..sim import QuasiStaticSim
 
 
 def compare(scene_factory, iterations: int = 100, plot_path: str | None = None):
@@ -53,7 +53,6 @@ def drag_study(scene_factory, iterations: int = 50,
                plot_path: str | None = None):
     """Per-iteration residual study: GS-only vs CG-only vs Newton-MG
     (reference `drag`, object.py:1770-1852)."""
-    from .. import config
     out = {}
     # newton with CG (reference Newton), newton_mg, fas as the three arms
     for name, call in (

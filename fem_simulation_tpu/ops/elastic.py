@@ -24,7 +24,6 @@ All functions are pure and jit-safe; shapes are static per scene.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 # f32 einsums on TPU default to bf16 MXU passes; the physics path needs full

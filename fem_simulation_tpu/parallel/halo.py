@@ -18,15 +18,12 @@ so per-step traffic is exactly two boundary layers per device.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
-
-from ..ops import ell
 
 
 @dataclasses.dataclass

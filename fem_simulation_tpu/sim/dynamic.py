@@ -20,8 +20,6 @@ see sim/picking.py for the host-side ray selection that produces them.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
@@ -29,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import DynamicsConfig
 from ..ops import elastic, ell
-from ..solvers import cg as cgmod, smoothers
+from ..solvers import cg as cgmod
 from .scene import Scene
 from . import quasistatic as qs
 

@@ -20,22 +20,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import DynamicsConfig, MaterialConfig
+from ..config import DynamicsConfig
 from ..ops import stencil, ell
 from ..solvers import cg as cgmod
-from .. import mesh as meshlib
 from .lattice import LatticeScene, LatState
-
-
-def _pad_to_odd(a, dims=(0, 1, 2)):
-    pads = [(0, (a.shape[d] % 2 == 0) and d in dims) for d in range(a.ndim)]
-    pad_widths = [(0, 1 if (d in dims and a.shape[d] % 2 == 0) else 0)
-                  for d in range(a.ndim)]
-    return jnp.pad(a, pad_widths)
 
 
 class MGLevel(NamedTuple):

@@ -10,7 +10,6 @@ reference instead synchronizes and reads scalars back every few steps
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
