@@ -33,8 +33,10 @@ def _use_pallas(flag):
 
 
 class LatState(NamedTuple):
-    x: jnp.ndarray   # (X, Y, Z, 3)
+    x: jnp.ndarray           # (X, Y, Z, 3)
     v: jnp.ndarray
+    drag_mask: jnp.ndarray   # (X, Y, Z) 1.0 where grabbed
+    drag_pos: jnp.ndarray    # (X, Y, Z, 3) grab targets
 
 
 class LatticeScene:
@@ -91,7 +93,9 @@ class LatticeScene:
         self.pin_pos = self.x0
 
     def init_state(self) -> LatState:
-        return LatState(x=self.x0, v=jnp.zeros_like(self.x0))
+        return LatState(x=self.x0, v=jnp.zeros_like(self.x0),
+                        drag_mask=jnp.zeros(self.shape, self.x0.dtype),
+                        drag_pos=self.x0)
 
     # residual force of the implicit step at x, given predictor x_tilde
     def dyn_force(self, x, x_tilde, inv_dt, drag_mask=None, drag_pos=None,
@@ -134,14 +138,16 @@ def step_to_tol(scene: LatticeScene, st: LatState,
     x_tilde = x
 
     def resid(xx):
-        return scene.dyn_force(xx, x_tilde, inv_dt, use_pallas=pallas)
+        return scene.dyn_force(xx, x_tilde, inv_dt,
+                               drag_mask=st.drag_mask, drag_pos=st.drag_pos,
+                               use_pallas=pallas)
 
     def cond(c):
         xx, k, fn = c
         return (fn > tol) & (k < max_newton)
 
     eye = jnp.eye(3, dtype=st.x.dtype)
-    ctrl = (mat.control_mag * scene.pin_mask
+    ctrl = (mat.control_mag * jnp.maximum(scene.pin_mask, st.drag_mask)
             + scene.mass * inv_dt * inv_dt
             # empty lattice rows get identity so the 3x3 solve is benign
             + (1.0 - scene.vert_mask))
@@ -175,7 +181,7 @@ def step_to_tol(scene: LatticeScene, st: LatState,
     x, k, fn = jax.lax.while_loop(cond, body,
                                   (x, jnp.int32(0), ell.inf_norm(resid(x))))
     v = (x - x_old) * inv_dt
-    return LatState(x=x, v=v), k, fn
+    return st._replace(x=x, v=v), k, fn
 
 
 class LatticeDynamicSim:
@@ -195,3 +201,16 @@ class LatticeDynamicSim:
                                            max_newton))
         self.state, k, f = fn(self.state)
         return self.state, k, f
+
+    def set_drag(self, mask_canonical, targets_canonical):
+        """Drag constraints given in canonical vertex order (Picker output)."""
+        sc = self.scene
+        dm = stencil.field_to_lattice(
+            jnp.asarray(mask_canonical)[:, None], sc.lat, sc.shape)[..., 0]
+        dp = stencil.field_to_lattice(jnp.asarray(targets_canonical),
+                                      sc.lat, sc.shape)
+        self.state = self.state._replace(drag_mask=dm, drag_pos=dp)
+
+    def clear_drag(self):
+        self.state = self.state._replace(
+            drag_mask=jnp.zeros_like(self.state.drag_mask))

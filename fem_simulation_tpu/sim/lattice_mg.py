@@ -272,4 +272,4 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
     x, k, fn = jax.lax.while_loop(cond, body,
                                   (x, jnp.int32(0), ell.inf_norm(resid(x))))
     v = (x - x_old) * inv_dt
-    return LatState(x=x, v=v), k, fn
+    return st._replace(x=x, v=v), k, fn

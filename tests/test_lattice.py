@@ -127,3 +127,21 @@ def test_lattice_step_pallas_interpret_matches(meshes):
     np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
                                atol=2e-5)
     assert float(f2) <= 1e-4
+
+
+def test_lattice_drag(meshes):
+    sim = LatticeDynamicSim(meshes)
+    n = sim.scene.lvl.n_verts
+    pin = np.zeros(n, np.float32)
+    free = 0
+    mask = np.zeros(n, np.float32)
+    mask[free] = 1.0
+    targets = np.asarray(sim.positions()).copy()
+    targets[free] += np.array([0.15, 0, 0], np.float32)
+    sim.set_drag(mask, targets)
+    for _ in range(3):
+        st, k, f = sim.frame_to_tol()
+    moved = np.asarray(sim.positions())[free]
+    assert np.isfinite(moved).all()
+    sim.clear_drag()
+    assert float(sim.state.drag_mask.sum()) == 0
