@@ -214,3 +214,53 @@ class LatticeDynamicSim:
     def clear_drag(self):
         self.state = self.state._replace(
             drag_mask=jnp.zeros_like(self.state.drag_mask))
+
+
+def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
+                       max_newton: int = 50, cg_iterations: int = 60,
+                       cg_tol: float = 1e-2, use_pallas=None):
+    """Quasi-static Newton to ||f||_inf <= tol on the lattice (the fast-path
+    equivalent of QuasiStaticSim.newton* for lattice-friendly meshes): same
+    machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn)."""
+    pallas = _use_pallas(use_pallas)
+    mat = scene.material
+
+    def resid(xx):
+        f = scene.dyn_force(xx, xx, 0.0, use_pallas=pallas)
+        return f
+
+    eye = jnp.eye(3, dtype=x.dtype)
+    ctrl = (mat.control_mag * scene.pin_mask + (1.0 - scene.vert_mask))
+    vmask3 = scene.vert_mask[..., None]
+
+    def cond(c):
+        xx, k, fn = c
+        return (fn > tol) & (k < max_newton)
+
+    def body(c):
+        xx, k, _ = c
+        f = resid(xx)
+        if pallas:
+            xx_cf = jnp.transpose(xx, (3, 0, 1, 2))
+
+            def matvec(p):
+                hp = jnp.transpose(plat.hvp_cf(
+                    xx_cf, jnp.transpose(p, (3, 0, 1, 2)), scene.cell_mask,
+                    scene.mesh.dx, mat.lame_mu, mat.lame_la), (1, 2, 3, 0))
+                return (hp + ctrl[..., None] * p) * vmask3
+        else:
+            _, jvp_fn = jax.linearize(resid, xx)
+            matvec = lambda p: -jvp_fn(p)
+        diag = stencil.elastic_hessian_diag_lattice(
+            xx, scene.cell_mask, scene.g_tab, scene.det,
+            mat.lame_mu, mat.lame_la)
+        diag = diag + ctrl[..., None, None] * eye
+        minv = lambda r: ell.solve3x3(diag, r) * vmask3
+        dx = cgmod.pcg_operator(matvec, minv, f,
+                                iterations=cg_iterations, tol=cg_tol)
+        xx = xx + dx * vmask3
+        return (xx, k + 1, ell.inf_norm(resid(xx)))
+
+    x, k, fn = jax.lax.while_loop(cond, body,
+                                  (x, jnp.int32(0), ell.inf_norm(resid(x))))
+    return x, k, fn

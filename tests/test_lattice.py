@@ -145,3 +145,19 @@ def test_lattice_drag(meshes):
     assert np.isfinite(moved).all()
     sim.clear_drag()
     assert float(sim.state.drag_mask.sum()) == 0
+
+
+def test_lattice_quasistatic(meshes):
+    """Lattice quasi-static Newton reaches the same equilibrium as the
+    unstructured Newton-MG solver."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene, quasistatic_to_tol
+    from fem_simulation_tpu.sim import QuasiStaticSim
+    from fem_simulation_tpu.config import SolverConfig
+    from fem_simulation_tpu.ops import stencil
+    scene = LatticeScene(meshes)
+    x, k, f = jax.jit(lambda xx: quasistatic_to_tol(scene, xx, tol=1e-4))(scene.x0)
+    assert float(f) <= 1e-4
+    sim = QuasiStaticSim(Scene(meshes, solver=SolverConfig(n_levels=2)))
+    sim.newton_multigrid(60)
+    x_can = stencil.field_from_lattice(x, scene.lat)
+    np.testing.assert_allclose(np.asarray(x_can), np.asarray(sim.x), atol=2e-3)
