@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--dx", type=float, default=0.05)
     ap.add_argument("--solver", default="newton_mg",
                     choices=["newton", "newton_mg", "fas0", "fas1", "fas2",
-                             "fas3", "adam", "gd"])
+                             "fas3", "adam", "gd", "lattice"])
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--out", default="/tmp/exp1")
     args = ap.parse_args()
@@ -35,7 +35,21 @@ def main():
     scene = Scene(m, solver=SolverConfig())
     sim = QuasiStaticSim(scene)
 
-    if args.solver == "newton":
+    if args.solver == "lattice":
+        # structured fast path (Pallas kernels on TPU)
+        import jax
+        import numpy as np
+        from fem_simulation_tpu.sim.lattice import (LatticeScene,
+                                                    quasistatic_to_tol)
+        from fem_simulation_tpu.ops import stencil
+        ls = LatticeScene(m)
+        x, k, f = jax.jit(lambda xx: quasistatic_to_tol(
+            ls, xx, tol=1e-4, max_newton=args.iterations))(ls.x0)
+        print(f"lattice Newton: {int(k)} iterations, ||f||_inf = {float(f):.3e}")
+        sim.x = scene.from_mesh_order(scene.to_mesh_order(
+            stencil.field_from_lattice(x, ls.lat)))
+        e = fn = np.asarray([float(f)])
+    elif args.solver == "newton":
         e, fn = sim.newton(args.iterations)
     elif args.solver == "newton_mg":
         e, fn = sim.newton_multigrid(args.iterations)
