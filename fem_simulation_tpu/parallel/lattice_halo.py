@@ -1,0 +1,140 @@
+"""Distributed structured-lattice force: z-slab sharding + plane halo exchange.
+
+The multi-chip version of the flagship lattice path (sim/lattice.py): the
+vertex lattice is split into contiguous z-slabs, one per device on the 'sp'
+mesh axis. Each device stores its owned planes plus one ghost plane per side.
+A force evaluation is:
+
+  1. refresh ghost planes   (2 ppermutes of one (X, Y, 3) plane over ICI)
+  2. local stencil force    (identical single-device kernel on the extended
+                             slab, cells masked to owned ones)
+  3. fold boundary sums     (2 ppermutes back: ghost-plane partial forces are
+                             added into the neighbor's boundary plane)
+
+Communication per step = 4 vertex planes per device, the theoretical minimum
+for a 1-ring stencil. Matches the single-device force bitwise up to reduction
+order (tested on an 8-device CPU mesh).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import stencil
+
+
+class LatticeSlabs:
+    """Static partition of a LatticeScene's z-axis over D devices.
+
+    Owned planes are equal-sized (the lattice is padded in z); each local
+    block is [ghost_lo, owned..., ghost_hi] = n_own + 2 planes.
+    """
+
+    def __init__(self, scene, n_dev: int):
+        self.scene = scene
+        X, Y, Z = scene.vert_mask.shape
+        n_own = -(-Z // n_dev)              # ceil
+        Zp = n_own * n_dev
+        self.n_dev = n_dev
+        self.n_own = n_own
+        self.Z = Z
+        self.Zp = Zp
+
+        def pad_z(a, extra_dims=0):
+            pw = [(0, 0), (0, 0), (0, Zp - Z)] + [(0, 0)] * extra_dims
+            return jnp.pad(a, pw)
+
+        self.vert_mask = pad_z(scene.vert_mask)
+        # cells: cell z-plane c belongs to the device owning vertex plane c
+        cm = jnp.pad(scene.cell_mask, [(0, 0), (0, 0),
+                                       (0, Zp - scene.cell_mask.shape[2])])
+        self.cell_mask = cm
+        self.pad_z = pad_z
+
+    def scatter(self, field):
+        """(X, Y, Z, C) global -> (D, X, Y, n_own+2, C) local blocks w/ ghosts."""
+        f = self.pad_z(field, extra_dims=field.ndim - 3)
+        blocks = []
+        for d in range(self.n_dev):
+            z0 = d * self.n_own
+            lo = f[:, :, z0 - 1:z0] if z0 > 0 else jnp.zeros_like(f[:, :, :1])
+            hi = (f[:, :, z0 + self.n_own:z0 + self.n_own + 1]
+                  if z0 + self.n_own < self.Zp
+                  else jnp.zeros_like(f[:, :, :1]))
+            blocks.append(jnp.concatenate(
+                [lo, f[:, :, z0:z0 + self.n_own], hi], axis=2))
+        return jnp.stack(blocks)
+
+    def gather(self, blocks):
+        """(D, X, Y, n_own+2, C) -> (X, Y, Z, C) owned planes only."""
+        own = blocks[:, :, :, 1:-1]
+        out = jnp.concatenate([own[d] for d in range(self.n_dev)], axis=2)
+        return out[:, :, :self.Z]
+
+    def scatter_cells(self):
+        """(D, X-1, Y-1, n_own+1) local cell masks (cells whose lower vertex
+        plane is owned; +1 to cover the cell touching the upper ghost)."""
+        cm = self.cell_mask
+        blocks = []
+        for d in range(self.n_dev):
+            z0 = d * self.n_own
+            # local cell planes relative to the extended block start (z0-1):
+            # cells with lower vertex plane in [z0-1 .. z0+n_own-1]; the
+            # z0-1 cell belongs to the LEFT device -> masked out here.
+            sl = []
+            for c in range(self.n_own + 1):
+                zc = z0 - 1 + c
+                if 0 <= zc < cm.shape[2] and c >= 1:
+                    sl.append(cm[:, :, zc:zc + 1])
+                else:
+                    sl.append(jnp.zeros_like(cm[:, :, :1]))
+            blocks.append(jnp.concatenate(sl, axis=2))
+        return jnp.stack(blocks)
+
+
+def make_dist_force(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
+                    mu: float = 250.0, la: float = 0.0):
+    """Returns force(x_blocks) -> (D, X, Y, n_own+2, 3) with halo exchange."""
+    scene = slabs.scene
+    D = slabs.n_dev
+    cell_blocks = slabs.scatter_cells()          # (D, X-1, Y-1, n_own+1)
+    g_tab, det = scene.g_tab, scene.det
+
+    perm_up = [(i, i + 1) for i in range(D - 1)]     # send towards +z
+    perm_dn = [(i + 1, i) for i in range(D - 1)]
+
+    def _local(xb, cmb):
+        x = xb[0]                                   # (X, Y, n_own+2, 3)
+        cm = cmb[0]
+        # 1. refresh ghosts: my lower owned plane -> right neighbor's ghost_hi
+        #    is wrong way; ghosts come FROM neighbors' owned boundary planes.
+        ghost_lo = jax.lax.ppermute(x[:, :, -2], axis, perm_up)   # from left
+        ghost_hi = jax.lax.ppermute(x[:, :, 1], axis, perm_dn)    # from right
+        x = x.at[:, :, 0].set(ghost_lo)
+        x = x.at[:, :, -1].set(ghost_hi)
+        # 2. local stencil force over the extended slab, owned cells only
+        f = stencil.elastic_force_lattice(x, cm, g_tab, det, mu, la)
+        # 3. fold ghost-plane partial sums into the neighbors' boundary planes
+        from_left = jax.lax.ppermute(f[:, :, -1], axis, perm_up)
+        from_right = jax.lax.ppermute(f[:, :, 0], axis, perm_dn)
+        f = f.at[:, :, 1].add(from_left)
+        f = f.at[:, :, -2].add(from_right)
+        # zero the (now folded) ghost planes
+        f = f.at[:, :, 0].set(0.0)
+        f = f.at[:, :, -1].set(0.0)
+        return f[None]
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(axis, None, None, None, None),
+                  P(axis, None, None, None)),
+        out_specs=P(axis, None, None, None, None),
+    )
+
+    def force(x_blocks):
+        return fn(x_blocks, cell_blocks)
+
+    return force

@@ -1,0 +1,41 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.sim.lattice import LatticeScene
+from fem_simulation_tpu.ops import stencil
+from fem_simulation_tpu.parallel.lattice_halo import LatticeSlabs, make_dist_force
+
+
+def test_distributed_lattice_force_matches_single():
+    m = meshlib.beam(4, 4, 33, dx=0.1)   # long in z for clean slabs
+    scene = LatticeScene(m)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    slabs = LatticeSlabs(scene, 8)
+
+    rng = np.random.default_rng(0)
+    x = scene.x0 + 0.02 * jnp.asarray(
+        rng.normal(size=scene.x0.shape).astype(np.float32)
+    ) * scene.vert_mask[..., None]
+
+    ref = stencil.elastic_force_lattice(x, scene.cell_mask, scene.g_tab,
+                                        scene.det, 250.0, 0.0)
+
+    force = make_dist_force(slabs, mesh, mu=250.0, la=0.0)
+    xb = slabs.scatter(x)
+    fb = jax.jit(force)(xb)
+    got = slabs.gather(fb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_slab_scatter_gather_roundtrip():
+    m = meshlib.beam(3, 3, 17, dx=0.1)
+    scene = LatticeScene(m)
+    slabs = LatticeSlabs(scene, 4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=scene.x0.shape).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(slabs.gather(slabs.scatter(x))),
+                               np.asarray(x))
