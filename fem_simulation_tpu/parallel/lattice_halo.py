@@ -138,3 +138,50 @@ def make_dist_force(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
         return fn(x_blocks, cell_blocks)
 
     return force
+
+
+def make_dist_hvp(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
+                  mu: float = 250.0, la: float = 0.0):
+    """Distributed elastic Hessian-vector product (same halo pattern as the
+    force; positive-definite convention). hvp(x_blocks, p_blocks) -> blocks."""
+    scene = slabs.scene
+    D = slabs.n_dev
+    cell_blocks = slabs.scatter_cells()
+    g_tab, det = scene.g_tab, scene.det
+    perm_up = [(i, i + 1) for i in range(D - 1)]
+    perm_dn = [(i + 1, i) for i in range(D - 1)]
+
+    def _refresh(x):
+        lo = jax.lax.ppermute(x[:, :, -2], axis, perm_up)
+        hi = jax.lax.ppermute(x[:, :, 1], axis, perm_dn)
+        return x.at[:, :, 0].set(lo).at[:, :, -1].set(hi)
+
+    def _fold(f):
+        from_left = jax.lax.ppermute(f[:, :, -1], axis, perm_up)
+        from_right = jax.lax.ppermute(f[:, :, 0], axis, perm_dn)
+        f = f.at[:, :, 1].add(from_left).at[:, :, -2].add(from_right)
+        return f.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+
+    def _local(xb, pb, cmb):
+        x = _refresh(xb[0])
+        p = _refresh(pb[0])
+        cm = cmb[0]
+
+        def force(xx):
+            return stencil.elastic_force_lattice(xx, cm, g_tab, det, mu, la)
+
+        _, jvp = jax.linearize(force, x)
+        return _fold(-jvp(p))[None]
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(axis, None, None, None, None),
+                  P(axis, None, None, None, None),
+                  P(axis, None, None, None)),
+        out_specs=P(axis, None, None, None, None),
+    )
+
+    def hvp(x_blocks, p_blocks):
+        return fn(x_blocks, p_blocks, cell_blocks)
+
+    return hvp

@@ -39,3 +39,27 @@ def test_slab_scatter_gather_roundtrip():
     x = jnp.asarray(rng.normal(size=scene.x0.shape).astype(np.float32))
     np.testing.assert_allclose(np.asarray(slabs.gather(slabs.scatter(x))),
                                np.asarray(x))
+
+
+def test_distributed_lattice_hvp_matches_single():
+    from fem_simulation_tpu.parallel.lattice_halo import make_dist_hvp
+    m = meshlib.beam(4, 4, 33, dx=0.1)
+    scene = LatticeScene(m)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    slabs = LatticeSlabs(scene, 8)
+    rng = np.random.default_rng(2)
+    x = scene.x0 + 0.02 * jnp.asarray(
+        rng.normal(size=scene.x0.shape).astype(np.float32)
+    ) * scene.vert_mask[..., None]
+    p = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def force(xx):
+        return stencil.elastic_force_lattice(xx, scene.cell_mask, scene.g_tab,
+                                             scene.det, 250.0, 0.0)
+
+    _, jvp = jax.linearize(force, x)
+    ref = -jvp(p)
+    hvp = make_dist_hvp(slabs, mesh, mu=250.0, la=0.0)
+    got = slabs.gather(jax.jit(hvp)(slabs.scatter(x), slabs.scatter(p)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
