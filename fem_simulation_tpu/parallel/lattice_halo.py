@@ -185,3 +185,101 @@ def make_dist_hvp(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
         return fn(x_blocks, p_blocks, cell_blocks)
 
     return hvp
+
+
+def make_dist_step(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
+                   dt: float = 0.033, damping: float = 0.9995,
+                   tol: float = 1e-4, max_newton: int = 20,
+                   cg_iterations: int = 60, cg_tol: float = 1e-2):
+    """Fully distributed dynamic step on z-slab blocks.
+
+    step(x_blocks, v_blocks) -> (x_blocks, v_blocks, newton_iters, f_inf):
+    predictor + inexact Newton with block-Jacobi PCG, all arithmetic on
+    (D, X, Y, n_own+2, 3) blocks; matvecs use the halo HVP, reductions are
+    plain jnp sums over the sharded array (XLA inserts the psums).
+    """
+    scene = slabs.scene
+    mat = scene.material
+    inv_dt = 1.0 / dt
+    D = slabs.n_dev
+
+    force = make_dist_force(slabs, mesh, mu=mat.lame_mu, la=mat.lame_la)
+    hvp = make_dist_hvp(slabs, mesh, mu=mat.lame_mu, la=mat.lame_la)
+
+    # per-block vertex fields (owned planes only; ghosts zero)
+    def blockify(field):
+        b = slabs.scatter(field)
+        return b.at[:, :, :, 0].set(0.0).at[:, :, :, -1].set(0.0)
+
+    vmask = blockify(scene.vert_mask[..., None])[..., 0]
+    pin = blockify(scene.pin_mask[..., None])[..., 0]
+    massb = blockify(scene.mass[..., None])[..., 0]
+    pin_pos = blockify(scene.pin_pos)
+    ctrl = (mat.control_mag * pin + massb * inv_dt * inv_dt
+            + (1.0 - vmask))
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    def resid(xb, x_tilde):
+        f = force(xb)
+        f = f.at[..., 1].add(massb * mat.gravity)
+        f = f + mat.control_mag * pin[..., None] * (pin_pos - xb)
+        f = f - (massb * inv_dt * inv_dt)[..., None] * (xb - x_tilde)
+        return f * vmask[..., None]
+
+    def inf_norm(f):
+        return jnp.max(jnp.abs(f))
+
+    def step(xb, vb):
+        x_old = xb
+        vb = vb * damping
+        xb = xb + vb * dt
+        x_tilde = xb
+
+        def cond(c):
+            xx, k, fn = c
+            return (fn > tol) & (k < max_newton)
+
+        def body(c):
+            xx, k, _ = c
+            f = resid(xx, x_tilde)
+
+            def matvec(p):
+                return (hvp(xx, p) + ctrl[..., None] * p) * vmask[..., None]
+
+            # block-Jacobi preconditioner from the control diagonal only
+            # (elastic diag omitted: keeps the distributed path simple; the
+            # mass term dominates conditioning for implicit Euler)
+            minv = lambda r: r / ctrl[..., None]
+            x_sol = jnp.zeros_like(f)
+            r = f
+            z = minv(r)
+            p = z
+            rz = jnp.sum(r * z)
+            rr0 = jnp.sum(r * r)
+
+            def cg_cond(cc):
+                xs, r, p, z, rz, i = cc
+                return (i <= cg_iterations) & (jnp.sum(r * r) > cg_tol * rr0)
+
+            def cg_body(cc):
+                xs, r, p, z, rz, i = cc
+                ap = matvec(p)
+                alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-30)
+                xs = xs + alpha * p
+                r = r - alpha * ap
+                z = minv(r)
+                rz_new = jnp.sum(r * z)
+                p = z + (rz_new / rz) * p
+                return (xs, r, p, z, rz_new, i + 1)
+
+            dx = jax.lax.while_loop(cg_cond, cg_body,
+                                    (x_sol, r, p, z, rz, jnp.int32(1)))[0]
+            xx = xx + dx * vmask[..., None]
+            return (xx, k + 1, inf_norm(resid(xx, x_tilde)))
+
+        xb, k, fn = jax.lax.while_loop(
+            cond, body, (xb, jnp.int32(0), inf_norm(resid(xb, x_tilde))))
+        vb = (xb - x_old) * inv_dt
+        return xb, vb, k, fn
+
+    return step, blockify

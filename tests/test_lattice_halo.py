@@ -63,3 +63,23 @@ def test_distributed_lattice_hvp_matches_single():
     got = slabs.gather(jax.jit(hvp)(slabs.scatter(x), slabs.scatter(p)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_distributed_step_matches_single():
+    from fem_simulation_tpu.parallel.lattice_halo import make_dist_step
+    from fem_simulation_tpu.sim import lattice as latmod
+    m = meshlib.beam(4, 4, 33, dx=0.1)
+    scene = LatticeScene(m)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    slabs = LatticeSlabs(scene, 8)
+    step, blockify = make_dist_step(slabs, mesh, tol=1e-4)
+
+    xb = blockify(scene.x0)
+    vb = jnp.zeros_like(xb)
+    xb, vb, k, fn = jax.jit(step)(xb, vb)
+    assert float(fn) <= 1e-4
+
+    st = scene.init_state()
+    st1, k1, f1 = jax.jit(lambda s: latmod.step_to_tol(scene, s, tol=1e-4))(st)
+    got = slabs.gather(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(st1.x), atol=1e-3)
