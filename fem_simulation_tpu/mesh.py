@@ -106,16 +106,47 @@ def _points_inside(points: np.ndarray, verts: np.ndarray, tris: np.ndarray,
     ok = np.abs(det) > 1e-12
     inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
 
+    # Bin points by their (y, z) cell and prefilter triangles per bin by
+    # yz-bounding-box overlap: the ray is (almost) +x, so only triangles
+    # whose yz extent covers the point can be hit. Cuts the brute-force
+    # O(points x tris) cost by ~the bin count.
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)[:, 1:]   # (T, 2) yz mins
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)[:, 1:]
+    margin = 1e-3 * (tri_hi.max(0) - tri_lo.min(0) + 1e-12)
+    n_bins = 16
+    lo_yz = points[:, 1:].min(axis=0) - margin
+    hi_yz = points[:, 1:].max(axis=0) + margin
+    span = np.maximum(hi_yz - lo_yz, 1e-12)
+    pbin = np.clip(((points[:, 1:] - lo_yz) / span * n_bins).astype(np.int64),
+                   0, n_bins - 1)
+    pkey = pbin[:, 0] * n_bins + pbin[:, 1]
+
     inside = np.zeros(points.shape[0], dtype=bool)
-    for s in range(0, points.shape[0], chunk):
-        p = points[s:s + chunk]                      # (P,3)
-        tvec = p[:, None, :] - v0[None, :, :]        # (P,T,3)
-        u = np.einsum("ptd,td->pt", tvec, pvec) * inv_det
-        qvec = np.cross(tvec, e1[None, :, :])
-        v = (qvec @ d) * inv_det                      # (P,T); d=(1,0,0) -> qvec[...,0]
-        t = np.einsum("ptd,td->pt", qvec, e2) * inv_det
-        hit = ok[None, :] & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-10)
-        inside[s:s + chunk] = (hit.sum(axis=1) % 2) == 1
+    for by in range(n_bins):
+        for bz in range(n_bins):
+            sel = np.nonzero(pkey == by * n_bins + bz)[0]
+            if sel.size == 0:
+                continue
+            cell_lo = lo_yz + np.array([by, bz]) / n_bins * span - margin
+            cell_hi = lo_yz + np.array([by + 1, bz + 1]) / n_bins * span + margin
+            tsel = np.nonzero((tri_lo[:, 0] <= cell_hi[0])
+                              & (tri_hi[:, 0] >= cell_lo[0])
+                              & (tri_lo[:, 1] <= cell_hi[1])
+                              & (tri_hi[:, 1] >= cell_lo[1]) & ok)[0]
+            if tsel.size == 0:
+                continue
+            v0s, e1s, e2s = v0[tsel], e1[tsel], e2[tsel]
+            pvs, ids = pvec[tsel], inv_det[tsel]
+            for s in range(0, sel.size, chunk):
+                idx = sel[s:s + chunk]
+                p = points[idx]
+                tvec = p[:, None, :] - v0s[None, :, :]
+                u = np.einsum("ptd,td->pt", tvec, pvs) * ids
+                qvec = np.cross(tvec, e1s[None, :, :])
+                vv = (qvec @ d) * ids
+                tt = np.einsum("ptd,td->pt", qvec, e2s) * ids
+                hit = (u >= 0) & (vv >= 0) & (u + vv <= 1) & (tt > 1e-10)
+                inside[idx] = (hit.sum(axis=1) % 2) == 1
     return inside
 
 
@@ -157,11 +188,19 @@ def beam(nx: int, ny: int, nz: int, dx: float = 0.05,
 
 
 def load_hex_mesh(scene_mesh_path: str | None, dx: float,
-                  beam_shape=(8, 8, 24)) -> HexMesh:
-    """Load-or-generate entry point used by sims and benchmarks."""
+                  beam_shape=(8, 8, 24), normalize: bool = False) -> HexMesh:
+    """Load-or-generate entry point used by sims and benchmarks.
+
+    normalize=True rescales the surface so its largest extent is 1 before
+    voxelizing — arbitrary OBJs come in wildly different units, and the
+    default material constants (BASELINE.md) assume unit-scale meshes like
+    the reference's bundled assets.
+    """
     if scene_mesh_path is None:
         return beam(*beam_shape, dx=dx)
     v, t = load_obj(scene_mesh_path)
+    if normalize:
+        v = (v - v.min(axis=0)) / float((v.max(axis=0) - v.min(axis=0)).max())
     return voxelize(v, t, dx)
 
 
