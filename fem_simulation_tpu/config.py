@@ -77,6 +77,7 @@ class TrainInterpConfig:
     perturb: float = 1e-3
     row_norm_weight: float = 1.0
     mode: str = "P"                  # "P" (residual-side) or "p_hat" (position-side)
+    loss: str = "inf"                # "inf" (reference parity) or "l2"
 
 
 @dataclasses.dataclass(frozen=True)

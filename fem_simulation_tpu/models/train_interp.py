@@ -87,8 +87,14 @@ def make_loss(scene: Scene, cfg: TrainInterpConfig):
     def loss(w, params, x):
         r = two_level_cycle_residual(scene, params, w, x, cfg.mode)
         t = params["transfers"][0]
-        return (ell.inf_norm(r)
-                + cfg.row_norm_weight * row_norm_penalty(t, w, n_rows, cfg.mode))
+        if cfg.loss == "l2":
+            # denser gradients than the reference's inf-norm (whose
+            # subgradient touches one entry per step — very slow SGD)
+            data = jnp.sum(r * r)
+        else:
+            data = ell.inf_norm(r)
+        return data + cfg.row_norm_weight * row_norm_penalty(t, w, n_rows,
+                                                             cfg.mode)
 
     return loss
 
@@ -137,9 +143,11 @@ class InterpTrainer:
         self.w = jnp.asarray(data["w"])
         return self
 
-    def compare(self, iterations: int = 5, x=None):
+    def compare(self, iterations: int = 5, x=None, smooth: bool = True):
         """Classic vs trained transfer: per-cycle fine residual inf-norms
-        (reference compare, exp2/P/quasi_simulation/object.py:1290-1366)."""
+        (reference compare, exp2/P/quasi_simulation/object.py:1290-1366 runs
+        the full FAS-style cycle incl. a fine GS sweep; smooth=False applies
+        only the bare trained cycle)."""
         t = self.scene.params["transfers"][0]
         w_classic = t["t_w"] if self.cfg.mode == "P" else t["t_w_norm"]
         out = {}
@@ -147,14 +155,21 @@ class InterpTrainer:
             x_cur = self.scene.x0 if x is None else x
             series = []
             for _ in range(iterations):
-                r = two_level_cycle_residual(self.scene, self.scene.params,
-                                             w, x_cur, self.cfg.mode)
-                series.append(float(ell.inf_norm(r)))
-                # apply the cycle by rerunning it on the updated state:
-                # cycle returns residual; recompute x via the same path
+                if smooth:
+                    x_cur = self._fine_smooth(x_cur)
                 x_cur = self._apply_cycle(w, x_cur)
+                r = qs.total_force(self.scene, self.scene.params, x_cur)
+                series.append(float(ell.inf_norm(r)))
             out[name] = np.asarray(series)
         return out
+
+    def _fine_smooth(self, x):
+        """One fine colored-GS sweep (the FAS pre-smoothing, object.py:1483)."""
+        vals = qs.assemble_fine(self.scene, self.scene.params, x)
+        b = qs.total_force(self.scene, self.scene.params, x)
+        op0 = self.scene.make_op(0, self.scene.params)
+        dx = smoothers.gauss_seidel(op0, vals, b, iterations=1)
+        return x + dx
 
     def _apply_cycle(self, w, x):
         t = self.scene.params["transfers"][0]
