@@ -32,6 +32,18 @@ def _use_pallas(flag):
     return flag
 
 
+def _hess_diag(scene, xx, pallas):
+    """Vertex-diagonal Hessian blocks; fused Pallas kernel on TPU (the XLA
+    einsum chain costs ~82 ms/eval at 66k verts — VERDICT r1 scaling bug)."""
+    mat = scene.material
+    if pallas:
+        return plat.hess_diag_lattice(xx, scene.cell_mask, scene.mesh.dx,
+                                      mat.lame_mu, mat.lame_la)
+    return stencil.elastic_hessian_diag_lattice(
+        xx, scene.cell_mask, scene.g_tab, scene.det,
+        mat.lame_mu, mat.lame_la)
+
+
 class LatState(NamedTuple):
     x: jnp.ndarray           # (X, Y, Z, 3)
     v: jnp.ndarray
@@ -117,6 +129,24 @@ class LatticeScene:
         f = f - (self.mass * inv_dt * inv_dt)[..., None] * (x - x_tilde)
         return f * self.vert_mask[..., None]
 
+    def total_energy(self, x, use_pallas=None):
+        """Quasi-static total energy: elastic + gravity + pin penalty
+        (reference compute_elastic_energy + compute_gravity_energy,
+        /root/reference/exp1/quasi_simulation/quai_hexagon.py:28-64)."""
+        mat = self.material
+        if _use_pallas(use_pallas):
+            e_el = plat.elastic_energy_lattice(x, self.cell_mask, self.mesh.dx,
+                                               mat.lame_mu, mat.lame_la)
+        else:
+            e_el = stencil.elastic_energy_lattice(x, self.cell_mask,
+                                                  self.g_tab, self.det,
+                                                  mat.lame_mu, mat.lame_la)
+        e_g = -jnp.sum(self.mass * mat.gravity * x[..., 1])
+        d = (x - self.pin_pos) * self.vert_mask[..., None]
+        e_pin = 0.5 * mat.control_mag * jnp.sum(
+            self.pin_mask[..., None] * d * d)
+        return e_el + e_g + e_pin
+
 
 def step_to_tol(scene: LatticeScene, st: LatState,
                 dyn: DynamicsConfig = DynamicsConfig(),
@@ -168,10 +198,7 @@ def step_to_tol(scene: LatticeScene, st: LatState,
         else:
             _, jvp_fn = jax.linearize(resid, xx)
             matvec = lambda p: -jvp_fn(p)
-        diag = stencil.elastic_hessian_diag_lattice(
-            xx, scene.cell_mask, scene.g_tab, scene.det,
-            mat.lame_mu, mat.lame_la)
-        diag = diag + ctrl[..., None, None] * eye
+        diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
         minv = lambda r: ell.solve3x3(diag, r) * vmask3
         dx = cgmod.pcg_operator(matvec, minv, f,
                                 iterations=cg_iterations, tol=cg_tol)
@@ -216,9 +243,43 @@ class LatticeDynamicSim:
             drag_mask=jnp.zeros_like(self.state.drag_mask))
 
 
+def armijo_step(energy_fn, xx, f, dx, vmask3, n_back: int = 16,
+                c1: float = 1e-4):
+    """Backtracking line search on the quasi-static energy (f = -grad E).
+
+    The reference's Newton takes full steps and relies on SPD-projecting
+    every assembled Hessian block (cublas.py spd_matrix33f); the matrix-free
+    lattice path has no assembled blocks to project, so globalization comes
+    from energy descent instead: truncated Newton-CG direction + Armijo
+    backtracking (falling back to steepest descent when CG returns a
+    non-descent direction under an indefinite Hessian)."""
+    d = dx * vmask3
+    gTd = -ell.vdot(f, d)
+    bad = gTd >= 0.0
+    d = jnp.where(bad, f, d)
+    gTd = jnp.where(bad, -ell.vdot(f, f), gTd)
+    e0 = energy_fn(xx)
+
+    def cond(carry):
+        t, done, k = carry
+        return (~done) & (k < n_back)
+
+    def body(carry):
+        t, done, k = carry
+        e1 = energy_fn(xx + t * d)
+        ok = e1 <= e0 + c1 * t * gTd
+        return (jnp.where(ok, t, t * 0.5), ok, k + 1)
+
+    t, done, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1.0, xx.dtype), jnp.bool_(False),
+                     jnp.int32(0)))
+    return xx + jnp.where(done, t, 0.0) * d
+
+
 def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                        max_newton: int = 50, cg_iterations: int = 60,
-                       cg_tol: float = 1e-2, use_pallas=None):
+                       cg_tol: float = 1e-2, use_pallas=None,
+                       line_search: bool = True):
     """Quasi-static Newton to ||f||_inf <= tol on the lattice (the fast-path
     equivalent of QuasiStaticSim.newton* for lattice-friendly meshes): same
     machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn)."""
@@ -251,14 +312,15 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
         else:
             _, jvp_fn = jax.linearize(resid, xx)
             matvec = lambda p: -jvp_fn(p)
-        diag = stencil.elastic_hessian_diag_lattice(
-            xx, scene.cell_mask, scene.g_tab, scene.det,
-            mat.lame_mu, mat.lame_la)
-        diag = diag + ctrl[..., None, None] * eye
+        diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
         minv = lambda r: ell.solve3x3(diag, r) * vmask3
         dx = cgmod.pcg_operator(matvec, minv, f,
                                 iterations=cg_iterations, tol=cg_tol)
-        xx = xx + dx * vmask3
+        if line_search:
+            xx = armijo_step(lambda xe: scene.total_energy(xe, pallas),
+                             xx, f, dx, vmask3)
+        else:
+            xx = xx + dx * vmask3
         return (xx, k + 1, ell.inf_norm(resid(xx)))
 
     x, k, fn = jax.lax.while_loop(cond, body,

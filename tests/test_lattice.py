@@ -161,3 +161,49 @@ def test_lattice_quasistatic(meshes):
     sim.newton_multigrid(60)
     x_can = stencil.field_from_lattice(x, scene.lat)
     np.testing.assert_allclose(np.asarray(x_can), np.asarray(sim.x), atol=2e-3)
+
+
+def test_pallas_hess_diag_matches(meshes):
+    """Fused Pallas Hessian-diagonal kernel == XLA stencil reference."""
+    from fem_simulation_tpu.ops import pallas_lattice as plat
+    scene = LatticeScene(meshes)
+    rng = np.random.default_rng(7)
+    x = scene.x0 + 0.03 * jnp.asarray(
+        rng.normal(size=scene.x0.shape).astype(np.float32)) \
+        * scene.vert_mask[..., None]
+    ref = stencil.elastic_hessian_diag_lattice(
+        x, scene.cell_mask, scene.g_tab, scene.det, 250.0, 37.0)
+    got = plat.hess_diag_lattice(x, scene.cell_mask, meshes.dx, 250.0, 37.0,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_energy_matches(meshes):
+    """Fused Pallas energy kernel == XLA stencil reference."""
+    from fem_simulation_tpu.ops import pallas_lattice as plat
+    scene = LatticeScene(meshes)
+    rng = np.random.default_rng(8)
+    x = scene.x0 + 0.03 * jnp.asarray(
+        rng.normal(size=scene.x0.shape).astype(np.float32)) \
+        * scene.vert_mask[..., None]
+    ref = stencil.elastic_energy_lattice(x, scene.cell_mask, scene.g_tab,
+                                         scene.det, 250.0, 37.0)
+    got = plat.elastic_energy_lattice(x, scene.cell_mask, meshes.dx,
+                                      250.0, 37.0, interpret=True)
+    assert float(got) == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_lattice_quasistatic_mg(meshes):
+    """GMG-preconditioned quasi-static Newton reaches the same equilibrium
+    as the block-Jacobi-PCG quasi-static Newton."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene, quasistatic_to_tol
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG, quasistatic_to_tol_mg
+    scene = LatticeScene(meshes)
+    mg = LatticeMG(scene, n_levels=2, dt=None)
+    x1, k1, f1 = jax.jit(
+        lambda xx: quasistatic_to_tol(scene, xx, tol=1e-4))(scene.x0)
+    x2, k2, f2 = jax.jit(
+        lambda xx: quasistatic_to_tol_mg(scene, mg, xx, tol=1e-4))(scene.x0)
+    assert float(f2) <= 1e-4
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
