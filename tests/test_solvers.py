@@ -56,13 +56,14 @@ def test_newton_multigrid_converges(scene):
 
 
 def test_newton_mg_beats_newton(scene):
-    """MG should reach a lower force norm in fewer steps (smoother is stronger
-    than 5 CG iterations on this problem)."""
+    """The reference's core claim (README.md:17-19): at equal iteration
+    count, Newton-MG reaches a STRICTLY lower force norm than single-level
+    Newton (calibrated: ~5.5e-6 vs ~3.9e-5 at 20 iterations on this beam)."""
     sim1 = QuasiStaticSim(scene)
     _, fn1 = sim1.newton(20)
     sim2 = QuasiStaticSim(scene)
     _, fn2 = sim2.newton_multigrid(20)
-    assert np.asarray(fn2)[-1] < np.asarray(fn1)[-1] * 1.5  # at least comparable
+    assert np.asarray(fn2)[-1] < np.asarray(fn1)[-1]
 
 
 @pytest.mark.parametrize("variant", [0, 1, 2, 3])
@@ -75,15 +76,42 @@ def test_fas_variants_run(scene, variant):
 
 def test_fas3_converges_linearly(scene):
     """The headline reference result: FAS force inf-norm decays linearly on a
-    log plot (README.md:17-19). Check a sustained geometric decay rate."""
+    log plot (README.md:17-19). Pin the actual geometric rate: calibrated at
+    ~0.5 decades/cycle on this beam until the f32 noise floor (~6e-6); assert
+    a sustained >= 0.3 decades/cycle over the decaying segment."""
     sim = QuasiStaticSim(scene)
     _, fn = sim.fas(60, variant=3)
     fn = np.asarray(fn)
     assert fn[-1] < 1e-2 * fn[0]
-    # geometric decay: log-residual roughly linear over the mid range
-    logs = np.log10(fn[10:60])
-    diffs = np.diff(logs)
-    assert np.median(diffs) < -0.01  # strictly decaying on median
+    # decaying segment: cycles before the residual reaches the noise floor
+    k = int(np.argmax(fn < 2e-5))
+    if k == 0:
+        k = fn.size
+    assert k >= 5, f"decay segment too short to fit a rate: {k}"
+    logs = np.log10(fn[:k])
+    slope = np.polyfit(np.arange(logs.size), logs, 1)[0]
+    assert slope <= -0.3, f"FAS decay {-slope:.3f} decades/cycle < 0.3"
+    # and the tolerance is actually reached within 20 cycles
+    assert fn[:20].min() <= 1e-4
+
+
+def test_drag_study_mg_fastest(scene):
+    """Reference `drag` study (object.py:1770-1852): on ONE fixed SPD
+    Hessian at a dragged state, the V-cycle's linear residual decays fastest
+    per iteration (calibrated: 1 V-cycle ~ 5e-7 rel, 1 GS sweep ~ 1e-2 rel,
+    1 CG iter ~ 1e-1 rel)."""
+    from fem_simulation_tpu.harness.compare import drag_study
+    out = drag_study(lambda: Scene(meshlib.beam(4, 4, 8, dx=0.1),
+                                   solver=SolverConfig(n_levels=2)),
+                     iterations=6)
+    gs, cg, mg = out["gs"], out["cg"], out["mg"]
+    assert mg[0] == gs[0] == cg[0]          # same system
+    # MG strictly fastest at every recorded iteration
+    for i in (1, 2, 3):
+        assert mg[i] < gs[i] and mg[i] < cg[i]
+    # and dramatically so after one cycle (>2 decades better than GS:
+    # calibrated 5.5e-4 vs 1.8e-1 on this beam)
+    assert mg[1] < 5e-3 * gs[1]
 
 
 def test_adam_and_gd_run(scene):
