@@ -229,9 +229,12 @@ def pin_force(x, pin_mask, pin_pos, control_mag):
 
 
 def inertia_force(x, x_tilde, m, inv_dt):
-    """-m/h^2 (x_tilde - x): implicit-Euler inertia term
-    (reference compute_Inertia_Gradient_Kernel, exp1/simulation/cublas.py)."""
-    return -(m * inv_dt * inv_dt)[:, None] * (x_tilde - x)
+    """-m/h^2 (x - x_tilde): implicit-Euler inertia term of the residual
+    FORCE (f = -grad E), matching the inline term in sim/dynamic.py
+    (reference compute_Inertia_Gradient_Kernel negated,
+    exp1/simulation/hexagon.py:174-179 — the reference accumulates gradients,
+    this framework accumulates forces)."""
+    return -(m * inv_dt * inv_dt)[:, None] * (x - x_tilde)
 
 
 def inertia_energy(x, x_tilde, m, inv_dt):

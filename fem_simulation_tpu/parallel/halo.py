@@ -210,18 +210,22 @@ def make_dist_matvec(part: SlabPartition, mesh: Mesh, axis: str = "sp"):
 
 
 def dist_cg(matvec, b_shards, mesh: Mesh, axis: str = "sp",
-            iterations: int = 50, tol: float = 1e-10):
+            iterations: int = 50, tol: float = 1e-5):
     """CG over distributed shards; dot products psum'ed inside shard_map is
     unnecessary — b_shards are fully addressable here, so plain jnp sums
-    (which XLA turns into the right collectives under jit) suffice."""
+    (which XLA turns into the right collectives under jit) suffice.
+
+    tol is RELATIVE: stop when ||r|| <= tol * ||b|| (matching every other CG
+    in the repo, solvers/cg.py)."""
     x = jnp.zeros_like(b_shards)
     r = b_shards
     p = r
     rs = jnp.sum(r * r)
+    stop = (tol * tol) * rs
 
     def cond(c):
         x, r, p, rs, k = c
-        return (k < iterations) & (rs > tol)
+        return (k < iterations) & (rs > stop)
 
     def body(c):
         x, r, p, rs, k = c

@@ -50,12 +50,39 @@ def load_state(path: str, state_cls=None):
 
 
 def save_pytree(path: str, tree):
-    """Pickle-free pytree save (leaf arrays as npz + structure as json)."""
+    """Pickle-free pytree save: leaf arrays as npz in flatten order.
+
+    Pair with load_pytree(path, like=<tree of the same structure>); the
+    structure itself is not serialized (jax treedefs have no stable wire
+    format without pickle), only a human-readable record in `path.tree`."""
     import jax
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     np.savez(path, *[np.asarray(l) for l in leaves])
     with open(path + ".tree", "w") as fh:
         fh.write(str(treedef))
+
+
+def load_pytree(path: str, like):
+    """Load arrays saved by save_pytree into the structure of `like`.
+
+    `like` supplies the treedef (e.g. a freshly initialized params pytree);
+    leaves are matched by flatten order and shape-checked."""
+    import jax
+    import jax.numpy as jnp
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    leaves = [data[k] for k in data.files]
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(leaves) != len(like_leaves):
+        raise ValueError(f"{path}: {len(leaves)} saved leaves, structure "
+                         f"expects {len(like_leaves)}")
+    for i, (l, ref) in enumerate(zip(leaves, like_leaves)):
+        if hasattr(ref, "shape") and tuple(l.shape) != tuple(ref.shape):
+            raise ValueError(f"{path}: leaf {i} shape {l.shape} != "
+                             f"expected {ref.shape}")
+    return jax.tree_util.tree_unflatten(treedef,
+                                        [jnp.asarray(l) for l in leaves])
 
 
 def checkpoint_sim(path: str, sim):

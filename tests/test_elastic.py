@@ -106,3 +106,16 @@ def test_lumped_mass(setup):
     mass = elastic.lumped_mass(vol, hexes, m.n_verts)
     # total = 8 * sum of volumes (each corner gets the full cell volume)
     np.testing.assert_allclose(float(mass.sum()), 8 * float(vol.sum()), rtol=1e-5)
+
+
+def test_inertia_force_is_neg_grad_energy():
+    import jax
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+    xt = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, size=12).astype(np.float32))
+    inv_dt = 1.0 / 0.033
+    f = elastic.inertia_force(x, xt, mass, inv_dt)
+    g = jax.grad(lambda xx: elastic.inertia_energy(xx, xt, mass, inv_dt))(x)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g),
+                               rtol=1e-4, atol=1e-4)

@@ -30,6 +30,22 @@ def test_checkpoint_resume_dynamic(scene, tmp_path):
     np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
 
 
+def test_save_load_pytree_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "b": [jnp.ones(4), {"c": jnp.zeros((2, 2))}]}
+    p = str(tmp_path / "tree.npz")
+    ioutil.save_pytree(p, tree)
+    like = {"a": jnp.zeros((2, 3)),
+            "b": [jnp.zeros(4), {"c": jnp.ones((2, 2))}]}
+    out = ioutil.load_pytree(p, like)
+    np.testing.assert_allclose(np.asarray(out["a"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(out["b"][1]["c"]), np.zeros((2, 2)))
+    bad = {"a": jnp.zeros((3, 2)), "b": [jnp.zeros(4), {"c": jnp.ones((2, 2))}]}
+    with pytest.raises(ValueError):
+        ioutil.load_pytree(p, bad)
+
+
 def test_metrics_logger(tmp_path):
     csvp = str(tmp_path / "m.csv")
     jl = str(tmp_path / "m.jsonl")
