@@ -36,11 +36,12 @@ def main():
                     help="two-scan-length timing (removes the per-dispatch "
                          "tunnel latency exactly, at 2x compile cost)")
     ap.add_argument("--solver", default="lattice",
-                    choices=["lattice", "latmg", "matfree", "cg", "mg"],
+                    choices=["lattice", "latmg", "matfree", "cg", "mg", "fas"],
                     help="stepping path: structured-lattice matrix-free CG "
                          "(default; falls back to matfree when the mesh "
                          "fills <60%% of its bounding box), unstructured "
-                         "matrix-free CG, assembled CG, or V-cycle")
+                         "matrix-free CG, assembled CG, V-cycle, or "
+                         "nonlinear FAS cycles")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +100,8 @@ def main():
                     st2, k, fn = dynamic.step_to_tol(
                         scene, p, st, tol=args.tol, max_newton=20,
                         use_multigrid=(solver == "mg"),
-                        matrix_free=(solver == "matfree"))
+                        matrix_free=(solver == "matfree"),
+                        use_fas=(solver == "fas"))
                     return st2, fn
                 return jax.lax.scan(body, st, None, length=n)
             return run

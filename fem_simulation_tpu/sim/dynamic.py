@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DynamicsConfig
-from ..ops import elastic, ell
-from ..solvers import cg as cgmod
+from ..ops import elastic, ell, transfer
+from ..solvers import cg as cgmod, smoothers
 from .scene import Scene
 from . import quasistatic as qs
 
@@ -55,7 +55,7 @@ def _dyn_force(scene: Scene, params, st: DynState, x, x_tilde, inv_dt):
     f = f + elastic.gravity_force(p0["mass"], mat.gravity, x.shape[0], x.dtype)
     f = f + elastic.pin_force(x, p0["pin_mask"], p0["pin_pos"], mat.control_mag)
     f = f + mat.control_mag * st.drag_mask[:, None] * (st.drag_pos - x)
-    f = f + -(p0["mass"] * inv_dt * inv_dt)[:, None] * (x - x_tilde)
+    f = f + elastic.inertia_force(x, x_tilde, p0["mass"], inv_dt)
     return f
 
 
@@ -68,6 +68,58 @@ def _dyn_hessian(scene: Scene, params, st: DynState, x, inv_dt):
     ctrl = mat.control_mag * jnp.maximum(p0["pin_mask"], st.drag_mask)
     diag = (ctrl + p0["mass"] * inv_dt * inv_dt)[:, None, None] * jnp.eye(3, dtype=x.dtype)
     return ell.add_to_diag(vals, p0["diag_slot"], diag)
+
+
+def fas_dynamic_cycle(scene: Scene, params, st: DynState, x, x_tilde, inv_dt):
+    """One two-level FAS cycle on the full implicit-Euler residual.
+
+    The reference runs FAS inside the dynamic stepper too
+    (/root/reference/exp1/simulation/object.py:1175-1240: fine GS(1), restrict
+    solution Ut_noOrder + fresh residual Ut_hat, re-discretized coarse Hessian,
+    tau-corrected CG-with-init, prolongate the error Us_noOrder_hat). Here the
+    residual additionally carries the inertia/drag terms so the cycle solves
+    the actual dynamic step, and the coarse operator gets the restricted
+    control+mass diagonal (the reference's compute_fix_hessian treatment,
+    cublas.py:234-243, extended to the mass term).
+    """
+    mat = scene.material
+    p0 = params["levels"][0]
+    p1 = params["levels"][1]
+    t = params["transfers"][0]
+    eye = jnp.eye(3, dtype=x.dtype)
+
+    def resid(xx):
+        return _dyn_force(scene, params, st, xx, x_tilde, inv_dt)
+
+    # fine: dynamic Hessian + one colored-GS sweep
+    vals0 = _dyn_hessian(scene, params, st, x, inv_dt)
+    op0 = scene.make_op(0, params)
+    dx = smoothers.gauss_seidel(op0, vals0, resid(x), iterations=1)
+    x = x + dx
+
+    # restrict solution (normalized weights) and fresh residual (hat weights)
+    xc = transfer.restrict(t["r_idx"], t["r_w_norm"], x)
+    r = resid(x)
+    bc = transfer.restrict(t["r_idx"], t["r_w"], r)
+
+    # coarse: re-discretized elastic + conservatively restricted ctrl/mass diag
+    vals_c = qs.assemble_elastic(scene, params, 1, xc)
+    ctrl_f = (mat.control_mag * jnp.maximum(p0["pin_mask"], st.drag_mask)
+              + p0["mass"] * inv_dt * inv_dt)
+    ctrl_c = transfer.restrict(t["r_idx"], t["r_w"], ctrl_f[:, None])[:, 0]
+    vals_c = ell.add_to_diag(vals_c, p1["diag_slot"],
+                             ctrl_c[:, None, None] * eye)
+    op1 = scene.make_op(1, params)
+
+    # tau-corrected coarse solve seeded at xc: solve A_c u = bc + A_c xc,
+    # prolongate the error u - xc (reference CG_WithInitX + z_axpby pattern)
+    fullc = vals_c * op1.mask[..., None, None]
+    bc_tau = bc + ell.spmv(fullc, op1.nbr, op1.mask, xc)
+    sol = cgmod.cg(op1, vals_c, bc_tau,
+                   iterations=scene.solver.coarse_cg_iterations,
+                   tol=scene.solver.cg_tol, x0=xc)
+    x = x + transfer.prolong(t["p_idx"], t["p_w"], sol - xc)
+    return x, r
 
 
 def step(scene: Scene, params, st: DynState,
@@ -92,7 +144,8 @@ def step(scene: Scene, params, st: DynState,
 def step_to_tol(scene: Scene, params, st: DynState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
-                use_multigrid: bool = True, matrix_free: bool = False):
+                use_multigrid: bool = True, matrix_free: bool = False,
+                use_fas: bool = False):
     """One frame with Newton iterations until ||f||_inf <= tol (device loop).
 
     This is the benchmark path (BASELINE.md metric). Returns (state, n_newton,
@@ -102,6 +155,10 @@ def step_to_tol(scene: Scene, params, st: DynState,
     force* (jax.linearize Hessian-vector products) — the Hessian is never
     assembled; this is the SURVEY.md section 2.2 matrix-free design and the
     fastest single-chip path.
+
+    use_fas=True replaces each Newton linear solve with one nonlinear
+    two-level FAS cycle on the dynamic residual (fas_dynamic_cycle; reference
+    exp1/simulation/object.py:1175). Needs a >=2-level scene.
     """
     inv_dt = 1.0 / dyn.dt
     x_old = st.x
@@ -122,6 +179,9 @@ def step_to_tol(scene: Scene, params, st: DynState,
 
     def body(carry):
         xx, k, _ = carry
+        if use_fas:
+            xx, f = fas_dynamic_cycle(scene, params, st, xx, x_tilde, inv_dt)
+            return (xx, k + 1, ell.inf_norm(resid(xx)))
         f = resid(xx)
         if matrix_free:
             _, jvp_fn = jax.linearize(resid, xx)

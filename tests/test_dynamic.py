@@ -80,3 +80,18 @@ def test_matrix_free_matches_assembled(scene):
     assert float(f1) <= 1e-4 and float(f2) <= 1e-4
     assert int(k2) <= int(k1)  # PCG should not be weaker
     np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x), atol=1e-3)
+
+
+def test_fas_dynamic_matches_cg(scene):
+    """The dynamic FAS option (reference exp1/simulation/object.py:1175)
+    solves the same implicit step as the CG path: both reach the tolerance
+    and land on the same state."""
+    import jax
+    from fem_simulation_tpu.sim import dynamic as dyn
+    st = dyn.init_state(scene)
+    st1, k1, f1 = jax.jit(lambda p, s: dyn.step_to_tol(
+        scene, p, s, tol=1e-4, use_multigrid=False))(scene.params, st)
+    st2, k2, f2 = jax.jit(lambda p, s: dyn.step_to_tol(
+        scene, p, s, tol=1e-4, max_newton=30, use_fas=True))(scene.params, st)
+    assert float(f2) <= 1e-4, f"FAS missed tol: {float(f2):.3e}"
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x), atol=1e-3)
