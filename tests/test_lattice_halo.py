@@ -83,3 +83,22 @@ def test_distributed_step_matches_single():
     st1, k1, f1 = jax.jit(lambda s: latmod.step_to_tol(scene, s, tol=1e-4))(st)
     got = slabs.gather(xb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(st1.x), atol=1e-3)
+
+
+def test_distributed_diag_matches_single():
+    from fem_simulation_tpu.parallel.lattice_halo import make_dist_diag
+    m = meshlib.beam(4, 4, 33, dx=0.1)
+    scene = LatticeScene(m)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    slabs = LatticeSlabs(scene, 8)
+    rng = np.random.default_rng(5)
+    x = scene.x0 + 0.02 * jnp.asarray(
+        rng.normal(size=scene.x0.shape).astype(np.float32)
+    ) * scene.vert_mask[..., None]
+    ref = stencil.elastic_hessian_diag_lattice(
+        x, scene.cell_mask, scene.g_tab, scene.det, 250.0, 0.0)
+    diag = make_dist_diag(slabs, mesh, mu=250.0, la=0.0)
+    got = slabs.gather(jax.jit(diag)(slabs.scatter(x)))
+    # f32 accumulation order differs between the global and per-slab sums
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=5e-4)
