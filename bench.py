@@ -28,6 +28,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default=None, help="OBJ path (default: procedural beam)")
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="keep the OBJ's native units (default: rescale the "
+                         "largest extent to 1 — material constants assume "
+                         "unit-scale meshes, BASELINE.md)")
     ap.add_argument("--dx", type=float, default=0.05)
     ap.add_argument("--beam", default="8,8,24")
     ap.add_argument("--frames", type=int, default=120)
@@ -35,6 +39,23 @@ def main():
     ap.add_argument("--precise", action="store_true",
                     help="two-scan-length timing (removes the per-dispatch "
                          "tunnel latency exactly, at 2x compile cost)")
+    ap.add_argument("--quasistatic", action="store_true",
+                    help="measure one full quasi-static solve from rest to "
+                         "||f||inf<=tol instead of dynamic timesteps — the "
+                         "regime where the reference's multigrid-vs-single-"
+                         "level claim lives (README.md:17-19); supports "
+                         "--solver lattice|latmg")
+    ap.add_argument("--pins", default="top", choices=["top", "zmin"],
+                    help="pinned vertices: 'top' = whole top y-slab "
+                         "(reference default, object.py:762-773 — every "
+                         "vertex is near a pin, so even plain PCG has a "
+                         "short effective diameter); 'zmin' = one end face "
+                         "(cantilever: conditioning degrades with beam "
+                         "length, the multigrid stress test)")
+    ap.add_argument("--mg-levels", type=int, default=3)
+    ap.add_argument("--mg-coarse-cg", type=int, default=40,
+                    help="coarsest-level inner CG iterations for latmg "
+                         "(0 = Chebyshev sweeps instead)")
     ap.add_argument("--solver", default="lattice",
                     choices=["lattice", "latmg", "matfree", "cg", "mg", "fas"],
                     help="stepping path: structured-lattice matrix-free CG "
@@ -56,13 +77,19 @@ def main():
     from fem_simulation_tpu.sim import Scene, dynamic
 
     shape = tuple(int(s) for s in args.beam.split(","))
-    m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape)
+    m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape,
+                              normalize=(args.mesh is not None
+                                         and not args.no_normalize))
+    pins = _make_pins(args, m)
+
+    if args.quasistatic:
+        return bench_quasistatic(args, m, pins)
 
     solver = args.solver
     if solver in ("lattice", "latmg"):
         from fem_simulation_tpu.sim.lattice import LatticeScene
         from fem_simulation_tpu.sim import lattice as latmod
-        lscene = LatticeScene(m)
+        lscene = LatticeScene(m, pins=pins)
         if lscene.fill < 0.6:
             solver = "matfree"   # sparse shape: lattice embedding wasteful
 
@@ -70,7 +97,8 @@ def main():
         st0 = lscene.init_state()
         if solver == "latmg":
             from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
-            lmg = LatticeMG(lscene, n_levels=3)
+            lmg = LatticeMG(lscene, n_levels=args.mg_levels,
+                            coarse_cg=args.mg_coarse_cg)
 
         def make_run(n):
             @jax.jit
@@ -148,6 +176,85 @@ def main():
         "vs_baseline": round(100.0 / ms, 3),
     }))
     return 0
+
+
+def _make_pins(args, m):
+    """None = default top-slab pins; 'zmin' = cantilever end-face pin list
+    (vertex ids in original mesh order, as LatticeScene expects)."""
+    if args.pins == "top":
+        return None
+    zmin = m.ijk[:, 2].min()
+    return np.nonzero(m.ijk[:, 2] == zmin)[0]
+
+
+def bench_quasistatic(args, m, pins=None):
+    """ms per full quasi-static solve (rest -> ||f||inf<=tol).
+
+    Unlike the dynamic step, the quasi-static Hessian has no m/dt^2 mass
+    shift, so block-Jacobi PCG iteration counts grow with mesh diameter and
+    the GMG V-cycle preconditioner (--solver latmg) is where multigrid beats
+    single-level solvers (reference README.md:17-19, object.py:1230-1296).
+
+    Each timed repetition solves a distinct problem (a per-repeat vertical
+    perturbation of the rest state) inside one lax.scan dispatch, so XLA
+    cannot share work between repeats and the tunnel dispatch is amortized.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fem_simulation_tpu.sim.lattice import (LatticeScene,
+                                                quasistatic_to_tol)
+    from fem_simulation_tpu.sim.lattice_mg import (LatticeMG,
+                                                   quasistatic_to_tol_mg)
+
+    solver = args.solver
+    if solver not in ("lattice", "latmg"):
+        raise SystemExit("--quasistatic supports --solver lattice|latmg")
+    lscene = LatticeScene(m, pins=pins)
+    if solver == "latmg":
+        lmg = LatticeMG(lscene, n_levels=args.mg_levels, dt=None,
+                        coarse_cg=args.mg_coarse_cg)
+
+    n_rep = max(args.frames // 10, 4)
+    # distinct tiny rest-state perturbations defeat cross-repeat CSE
+    seeds = jnp.linspace(0.0, 1e-4, n_rep)
+
+    @jax.jit
+    def run(x0):
+        def body(carry, s):
+            x = x0 + s * lscene.vert_mask[..., None]
+            if solver == "latmg":
+                x, k, fn = quasistatic_to_tol_mg(lscene, lmg, x, tol=args.tol,
+                                                 max_newton=100)
+            else:
+                x, k, fn = quasistatic_to_tol(lscene, x, tol=args.tol,
+                                              max_newton=100)
+            return carry, (k, fn)
+        _, (ks, fns) = jax.lax.scan(body, 0.0, seeds)
+        return ks, fns
+
+    ks, fns = run(lscene.x0)
+    fns = np.asarray(fns)                    # warm-up/compile + sync
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ks, fns = run(lscene.x0)
+        fns = np.asarray(fns)
+        dt_ = time.perf_counter() - t0
+        best = dt_ if best is None else min(best, dt_)
+    ks = np.asarray(ks)
+    ms = best / n_rep * 1000.0
+    converged = bool(fns.max() <= args.tol * 1.01)
+    print(json.dumps({
+        "metric": f"ms_quasistatic_to_f_inf_{args.tol:g}_{args.solver}",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(100.0 / ms, 3),
+        "newton_iters": int(ks.max()),
+        "n_verts": int(m.n_verts),
+        "converged": converged,       # False: solver hit max_newton first
+        "f_inf_final": float(fns.max()),
+    }))
+    return 0 if converged else 1
 
 
 if __name__ == "__main__":

@@ -46,11 +46,19 @@ class LatticeMG:
     def __init__(self, scene: LatticeScene, n_levels: int = 3,
                  omega: float = 0.6, nu: int = 2, coarse_sweeps: int = 12,
                  dt: float | None = DynamicsConfig().dt,
-                 chebyshev: bool = True, use_pallas=None):
+                 chebyshev: bool = True, use_pallas=None,
+                 coarse_cg: int = 0):
         self.scene = scene
         self.omega = omega
         self.nu = nu
         self.coarse_sweeps = coarse_sweeps
+        # coarse_cg > 0: solve the coarsest level with diag-preconditioned CG
+        # instead of smoothing sweeps. Smoothers only damp high-frequency
+        # error; on strongly anisotropic coarse grids (a 4x4x64 beam) the
+        # long-axis low modes survive any sweep count, and exactly those modes
+        # are why multigrid exists. A short CG solve costs ~nothing at the
+        # coarsest size and makes the V-cycle contraction diameter-independent.
+        self.coarse_cg = coarse_cg
         self.chebyshev = chebyshev
         self.use_pallas = _use_pallas(use_pallas)
         mat = scene.material
@@ -229,11 +237,15 @@ class LatticeMG:
 
     def vcycle(self, ops, b, level: int = 0):
         matvec, diag, vmask, lmax = ops[level]
-        x = self._smooth(matvec, diag, vmask, b, jnp.zeros_like(b),
-                         self.nu if level < self.n_levels - 1
-                         else self.coarse_sweeps, lmax)
         if level == self.n_levels - 1:
-            return x
+            if self.coarse_cg > 0:
+                return cgmod.pcg_operator(
+                    matvec, lambda r: ell.solve3x3(diag, r) * vmask, b,
+                    iterations=self.coarse_cg, tol=1e-4)
+            return self._smooth(matvec, diag, vmask, b, jnp.zeros_like(b),
+                                self.coarse_sweeps, lmax)
+        x = self._smooth(matvec, diag, vmask, b, jnp.zeros_like(b),
+                        self.nu, lmax)
         r = b - matvec(x)
         nxt = self.levels[level + 1]
         rc = stencil.restrict_lat(r)
@@ -295,7 +307,8 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
             return mg.vcycle(ops, r)
 
         dx = cgmod.pcg_operator(matvec, minv, pad(f),
-                                iterations=cg_iterations, tol=cg_tol)
+                                iterations=cg_iterations, tol=cg_tol,
+                                flexible=mg.coarse_cg > 0)
         xx = xx + unpad(dx) * scene.vert_mask[..., None]
         return (xx, k + 1, ell.inf_norm(resid(xx)))
 
@@ -341,7 +354,8 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
         f = resid(xx)
         ops = mg.linearize(pad(xx))
         dx = cgmod.pcg_operator(ops[0][0], lambda r: mg.vcycle(ops, r),
-                                pad(f), iterations=cg_iterations, tol=cg_tol)
+                                pad(f), iterations=cg_iterations, tol=cg_tol,
+                                flexible=mg.coarse_cg > 0)
         vmask3 = scene.vert_mask[..., None]
         if line_search:
             from .lattice import armijo_step

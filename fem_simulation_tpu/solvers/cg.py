@@ -57,12 +57,15 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
 
 def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
-                 return_iters: bool = False):
+                 return_iters: bool = False, flexible: bool = False):
     """Preconditioned CG on an abstract operator.
 
     minv: callable applying the preconditioner (e.g. a batched 3x3 block-
     diagonal solve). Tolerance is relative on ||r||^2 like the reference CG.
-    """
+
+    flexible=True uses the Polak-Ribiere beta (z_new . (r_new - r_old)) —
+    required when minv is non-stationary, e.g. a V-cycle whose coarsest level
+    is itself an inner CG solve (LatticeMG coarse_cg)."""
     x = jnp.zeros_like(b)
     r = b
     z = minv(r)
@@ -82,12 +85,16 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
         ok = pap >= 1e-12
         alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
         x = x + alpha * p
-        r = r - alpha * ap
-        z = minv(r)
-        rz_new = ell.vdot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
-        return (x, r, p, z, rz_new, k + 1, alive & ok)
+        r_new = r - alpha * ap
+        z_new = minv(r_new)
+        rz_new = ell.vdot(r_new, z_new)
+        if flexible:
+            # beta = z_new.(r_new - r_old)/rz with r_new - r_old = -alpha*Ap
+            beta = -alpha * ell.vdot(z_new, ap) / rz
+        else:
+            beta = rz_new / rz
+        p = z_new + beta * p
+        return (x, r_new, p, z_new, rz_new, k + 1, alive & ok)
 
     carry = (x, r, p, z, rz, jnp.int32(1), jnp.bool_(True))
     out = jax.lax.while_loop(cond, body, carry)

@@ -114,19 +114,28 @@ def test_lattice_transfers_adjoint():
     assert a == pytest.approx(b, rel=1e-5)
 
 
-def test_lattice_step_pallas_interpret_matches(meshes):
-    """Pallas (interpret) stepping == XLA stepping."""
+def test_lattice_step_pallas_interpret_matches():
+    """Pallas (interpret) stepping == XLA stepping.
+
+    Bounded on purpose: a FULL solve in interpret mode costs >10 min on one
+    CPU (every force/HVP eval interpreted); two Newton iterations with a
+    short CG budget exercise the same integration (force + HVP + diag fused
+    kernels inside the while_loop) at ~1/50 the cost. Full-solve Pallas
+    parity is covered on hardware by bench.py and the kernel-level tests
+    below (test_pallas_hess_diag_matches / test_pallas_energy_matches)."""
     from fem_simulation_tpu.sim.lattice import LatticeScene
     from fem_simulation_tpu.sim import lattice as latmod
-    scene = LatticeScene(meshes)
+    scene = LatticeScene(meshlib.beam(3, 3, 5, dx=0.1))
     st = scene.init_state()
+    kw = dict(tol=1e-12, max_newton=2, cg_iterations=5)
     st1, k1, f1 = jax.jit(lambda s: latmod.step_to_tol(
-        scene, s, tol=1e-4, use_pallas=False))(st)
+        scene, s, use_pallas=False, **kw))(st)
     st2, k2, f2 = jax.jit(lambda s: latmod.step_to_tol(
-        scene, s, tol=1e-4, use_pallas=True))(st)
+        scene, s, use_pallas=True, **kw))(st)
     np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
                                atol=2e-5)
-    assert float(f2) <= 1e-4
+    assert int(k2) == int(k1) == 2
+    assert np.isfinite(np.asarray(st2.x)).all()
 
 
 def test_lattice_drag(meshes):
@@ -201,6 +210,23 @@ def test_lattice_quasistatic_mg(meshes):
     from fem_simulation_tpu.sim.lattice_mg import LatticeMG, quasistatic_to_tol_mg
     scene = LatticeScene(meshes)
     mg = LatticeMG(scene, n_levels=2, dt=None)
+    x1, k1, f1 = jax.jit(
+        lambda xx: quasistatic_to_tol(scene, xx, tol=1e-4))(scene.x0)
+    x2, k2, f2 = jax.jit(
+        lambda xx: quasistatic_to_tol_mg(scene, mg, xx, tol=1e-4))(scene.x0)
+    assert float(f2) <= 1e-4
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
+
+
+def test_lattice_quasistatic_mg_coarse_cg():
+    """V-cycle with an inner-CG coarsest solve (non-stationary preconditioner
+    -> flexible outer PCG) still reaches the block-Jacobi equilibrium.
+    Small beam on purpose: correctness of the flexible-PCG + inner-CG wiring,
+    not scaling (bench.py --quasistatic measures that on hardware)."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene, quasistatic_to_tol
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG, quasistatic_to_tol_mg
+    scene = LatticeScene(meshlib.beam(3, 3, 7, dx=0.1))
+    mg = LatticeMG(scene, n_levels=2, dt=None, coarse_cg=8)
     x1, k1, f1 = jax.jit(
         lambda xx: quasistatic_to_tol(scene, xx, tol=1e-4))(scene.x0)
     x2, k2, f2 = jax.jit(
