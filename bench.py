@@ -53,9 +53,19 @@ def main():
                          "(cantilever: conditioning degrades with beam "
                          "length, the multigrid stress test)")
     ap.add_argument("--mg-levels", type=int, default=3)
-    ap.add_argument("--mg-coarse-cg", type=int, default=40,
+    ap.add_argument("--mg-coarse-cg", type=int, default=0,
                     help="coarsest-level inner CG iterations for latmg "
-                         "(0 = Chebyshev sweeps instead)")
+                         "(0 = Chebyshev sweeps, the measured-faster "
+                         "default on top-pinned problems)")
+    ap.add_argument("--mg-no-spd", action="store_true",
+                    help="skip SPD projection of the latmg smoother blocks "
+                         "(A/B knob; projection is needed for indefinite "
+                         "large-deformation Hessians)")
+    ap.add_argument("--load-steps", type=int, default=1,
+                    help="gravity-continuation increments for --quasistatic "
+                         "(incremental loading; needed on deep-sag "
+                         "cantilevers where single-shot Newton wanders the "
+                         "indefinite StVK region)")
     ap.add_argument("--solver", default="lattice",
                     choices=["lattice", "latmg", "matfree", "cg", "mg", "fas"],
                     help="stepping path: structured-lattice matrix-free CG "
@@ -90,15 +100,20 @@ def main():
         from fem_simulation_tpu.sim.lattice import LatticeScene
         from fem_simulation_tpu.sim import lattice as latmod
         lscene = LatticeScene(m, pins=pins)
-        if lscene.fill < 0.6:
-            solver = "matfree"   # sparse shape: lattice embedding wasteful
+        if lscene.fill < 0.05:
+            # The fused Pallas lattice kernels beat the unstructured path by
+            # ~2 orders of magnitude per site (428 vs ~3 ms/step on the
+            # voxelized kitten), so the embedding stays worthwhile down to a
+            # few percent fill; only degenerate shells fall back.
+            solver = "matfree"
 
     if solver in ("lattice", "latmg"):
         st0 = lscene.init_state()
         if solver == "latmg":
             from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
             lmg = LatticeMG(lscene, n_levels=args.mg_levels,
-                            coarse_cg=args.mg_coarse_cg)
+                            coarse_cg=args.mg_coarse_cg,
+                            spd_smoother=not args.mg_no_spd)
 
         def make_run(n):
             @jax.jit
@@ -212,7 +227,8 @@ def bench_quasistatic(args, m, pins=None):
     lscene = LatticeScene(m, pins=pins)
     if solver == "latmg":
         lmg = LatticeMG(lscene, n_levels=args.mg_levels, dt=None,
-                        coarse_cg=args.mg_coarse_cg)
+                        coarse_cg=args.mg_coarse_cg,
+                        spd_smoother=not args.mg_no_spd)
 
     n_rep = max(args.frames // 10, 4)
     # distinct tiny rest-state perturbations defeat cross-repeat CSE
@@ -224,10 +240,12 @@ def bench_quasistatic(args, m, pins=None):
             x = x0 + s * lscene.vert_mask[..., None]
             if solver == "latmg":
                 x, k, fn = quasistatic_to_tol_mg(lscene, lmg, x, tol=args.tol,
-                                                 max_newton=100)
+                                                 max_newton=100,
+                                                 load_steps=args.load_steps)
             else:
                 x, k, fn = quasistatic_to_tol(lscene, x, tol=args.tol,
-                                              max_newton=100)
+                                              max_newton=100,
+                                              load_steps=args.load_steps)
             return carry, (k, fn)
         _, (ks, fns) = jax.lax.scan(body, 0.0, seeds)
         return ks, fns

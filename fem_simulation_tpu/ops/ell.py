@@ -120,14 +120,25 @@ def eigh3x3(A: jnp.ndarray, sweeps: int = 6):
     return w, V
 
 
-def spd_project(values: jnp.ndarray, eps: float) -> jnp.ndarray:
+def spd_project(values: jnp.ndarray, eps: float,
+                rel_floor: float = 0.0) -> jnp.ndarray:
     """Clamp negative eigenvalues of each 3x3 block to +eps
-    (reference spd_matrix33f, cublas.py:115-127)."""
+    (reference spd_matrix33f, cublas.py:115-127).
+
+    rel_floor > 0 additionally floors every eigenvalue at
+    rel_floor * max|eigenvalue| of its block: a near-singular indefinite
+    block otherwise turns solve3x3 into a huge ill-scaled step (observed as
+    the multigrid smoother exploding on large-deformation cantilevers where
+    the StVK Hessian diagonal loses definiteness)."""
     shape = values.shape
     A = values.reshape(-1, 3, 3)
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     w, V = eigh3x3(A)
-    w = jnp.where(w < 0.0, eps, w)
+    if rel_floor > 0.0:
+        wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+        w = jnp.maximum(w, rel_floor * wmax + eps)
+    else:
+        w = jnp.where(w < 0.0, eps, w)
     out = _einsum("nij,nj,nkj->nik", V, w, V)
     return out.reshape(shape)
 

@@ -201,10 +201,23 @@ def _conv_half(x, axis):
     return y
 
 
-def prolong_lat(xc):
-    """(Xc, Yc, Zc, C) -> (2Xc-1, 2Yc-1, 2Zc-1, C) trilinear prolongation."""
+def prolong_lat(xc, shape=None):
+    """Trilinear prolongation. Default: (Xc, Yc, Zc, C) -> (2Xc-1, ...).
+
+    shape (3-tuple) overrides the fine spatial dims per axis; each entry must
+    be 2n-1 (odd grids, the default) or 2n (even grids — used by the
+    distributed multigrid, whose sharded z axis must divide the device count
+    so it is padded to an even multiple instead of to odd; the last fine
+    plane then interpolates only its single existing coarse neighbor, which
+    is exact because that plane is padding). restrict_lat is the adjoint in
+    both cases (subsampling [::2] keeps ceil(n/2) planes for either parity).
+    """
     Xc, Yc, Zc, C = xc.shape
-    z = jnp.zeros((2 * Xc - 1, 2 * Yc - 1, 2 * Zc - 1, C), xc.dtype)
+    if shape is None:
+        shape = (2 * Xc - 1, 2 * Yc - 1, 2 * Zc - 1)
+    for n, s in zip((Xc, Yc, Zc), shape):
+        assert s in (2 * n - 1, 2 * n), (xc.shape, shape)
+    z = jnp.zeros(tuple(shape) + (C,), xc.dtype)
     z = z.at[::2, ::2, ::2].set(xc)
     for ax in range(3):
         z = _conv_half(z, ax)

@@ -111,7 +111,7 @@ class LatticeScene:
 
     # residual force of the implicit step at x, given predictor x_tilde
     def dyn_force(self, x, x_tilde, inv_dt, drag_mask=None, drag_pos=None,
-                  use_pallas=None):
+                  use_pallas=None, gravity_scale=1.0):
         mat = self.material
         if _use_pallas(use_pallas):
             # fused Pallas kernel: ~11x faster than the XLA einsum chain on v5e
@@ -122,14 +122,14 @@ class LatticeScene:
             f = stencil.elastic_force_lattice(x, self.cell_mask, self.g_tab,
                                               self.det, mat.lame_mu,
                                               mat.lame_la)
-        f = f.at[..., 1].add(self.mass * mat.gravity)
+        f = f.at[..., 1].add(self.mass * mat.gravity * gravity_scale)
         f = f + mat.control_mag * self.pin_mask[..., None] * (self.pin_pos - x)
         if drag_mask is not None:
             f = f + mat.control_mag * drag_mask[..., None] * (drag_pos - x)
         f = f - (self.mass * inv_dt * inv_dt)[..., None] * (x - x_tilde)
         return f * self.vert_mask[..., None]
 
-    def total_energy(self, x, use_pallas=None):
+    def total_energy(self, x, use_pallas=None, gravity_scale=1.0):
         """Quasi-static total energy: elastic + gravity + pin penalty
         (reference compute_elastic_energy + compute_gravity_energy,
         /root/reference/exp1/quasi_simulation/quai_hexagon.py:28-64)."""
@@ -141,7 +141,7 @@ class LatticeScene:
             e_el = stencil.elastic_energy_lattice(x, self.cell_mask,
                                                   self.g_tab, self.det,
                                                   mat.lame_mu, mat.lame_la)
-        e_g = -jnp.sum(self.mass * mat.gravity * x[..., 1])
+        e_g = -jnp.sum(self.mass * mat.gravity * gravity_scale * x[..., 1])
         d = (x - self.pin_pos) * self.vert_mask[..., None]
         e_pin = 0.5 * mat.control_mag * jnp.sum(
             self.pin_mask[..., None] * d * d)
@@ -279,50 +279,74 @@ def armijo_step(energy_fn, xx, f, dx, vmask3, n_back: int = 16,
 def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                        max_newton: int = 50, cg_iterations: int = 60,
                        cg_tol: float = 1e-2, use_pallas=None,
-                       line_search: bool = True):
+                       line_search: bool = True, load_steps: int = 1):
     """Quasi-static Newton to ||f||_inf <= tol on the lattice (the fast-path
     equivalent of QuasiStaticSim.newton* for lattice-friendly meshes): same
-    machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn)."""
+    machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn).
+
+    load_steps > 1 enables gravity continuation (incremental loading): solve
+    at gravity scales i/K in sequence, warm-starting each stage from the
+    previous solution — the standard globalization for large-deformation
+    statics (e.g. a long cantilever sagging to a deep bend). Each increment
+    stays near its own equilibrium where the StVK Hessian is positive
+    definite, instead of marching Newton through the strongly indefinite
+    region between rest and the final sag. max_newton is the budget PER
+    load step; the returned k sums all stages."""
     pallas = _use_pallas(use_pallas)
     mat = scene.material
-
-    def resid(xx):
-        f = scene.dyn_force(xx, xx, 0.0, use_pallas=pallas)
-        return f
 
     eye = jnp.eye(3, dtype=x.dtype)
     ctrl = (mat.control_mag * scene.pin_mask + (1.0 - scene.vert_mask))
     vmask3 = scene.vert_mask[..., None]
 
-    def cond(c):
-        xx, k, fn = c
-        return (fn > tol) & (k < max_newton)
+    def resid(xx, gs):
+        return scene.dyn_force(xx, xx, 0.0, use_pallas=pallas,
+                               gravity_scale=gs)
 
-    def body(c):
-        xx, k, _ = c
-        f = resid(xx)
-        if pallas:
-            xx_cf = jnp.transpose(xx, (3, 0, 1, 2))
+    def solve_at(x0, gs):
+        def cond(c):
+            xx, k, fn = c
+            return (fn > tol) & (k < max_newton)
 
-            def matvec(p):
-                hp = jnp.transpose(plat.hvp_cf(
-                    xx_cf, jnp.transpose(p, (3, 0, 1, 2)), scene.cell_mask,
-                    scene.mesh.dx, mat.lame_mu, mat.lame_la), (1, 2, 3, 0))
-                return (hp + ctrl[..., None] * p) * vmask3
-        else:
-            _, jvp_fn = jax.linearize(resid, xx)
-            matvec = lambda p: -jvp_fn(p)
-        diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
-        minv = lambda r: ell.solve3x3(diag, r) * vmask3
-        dx = cgmod.pcg_operator(matvec, minv, f,
-                                iterations=cg_iterations, tol=cg_tol)
-        if line_search:
-            xx = armijo_step(lambda xe: scene.total_energy(xe, pallas),
-                             xx, f, dx, vmask3)
-        else:
-            xx = xx + dx * vmask3
-        return (xx, k + 1, ell.inf_norm(resid(xx)))
+        def body(c):
+            xx, k, _ = c
+            f = resid(xx, gs)
+            if pallas:
+                xx_cf = jnp.transpose(xx, (3, 0, 1, 2))
 
-    x, k, fn = jax.lax.while_loop(cond, body,
-                                  (x, jnp.int32(0), ell.inf_norm(resid(x))))
-    return x, k, fn
+                def matvec(p):
+                    hp = jnp.transpose(plat.hvp_cf(
+                        xx_cf, jnp.transpose(p, (3, 0, 1, 2)),
+                        scene.cell_mask, scene.mesh.dx,
+                        mat.lame_mu, mat.lame_la), (1, 2, 3, 0))
+                    return (hp + ctrl[..., None] * p) * vmask3
+            else:
+                _, jvp_fn = jax.linearize(lambda xe: resid(xe, gs), xx)
+                matvec = lambda p: -jvp_fn(p)
+            diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
+            minv = lambda r: ell.solve3x3(diag, r) * vmask3
+            dx = cgmod.pcg_operator(matvec, minv, f,
+                                    iterations=cg_iterations, tol=cg_tol)
+            if line_search:
+                xx = armijo_step(
+                    lambda xe: scene.total_energy(xe, pallas,
+                                                  gravity_scale=gs),
+                    xx, f, dx, vmask3)
+            else:
+                xx = xx + dx * vmask3
+            return (xx, k + 1, ell.inf_norm(resid(xx, gs)))
+
+        return jax.lax.while_loop(
+            cond, body, (x0, jnp.int32(0), ell.inf_norm(resid(x0, gs))))
+
+    if load_steps <= 1:
+        return solve_at(x, 1.0)
+
+    def scan_body(carry, gs):
+        xc, ktot = carry
+        xc, k, fn = solve_at(xc, gs)
+        return (xc, ktot + k), fn
+
+    scales = jnp.linspace(1.0 / load_steps, 1.0, load_steps)
+    (x, ktot), fns = jax.lax.scan(scan_body, (x, jnp.int32(0)), scales)
+    return x, ktot, fns[-1]

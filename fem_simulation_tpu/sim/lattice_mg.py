@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -47,7 +48,8 @@ class LatticeMG:
                  omega: float = 0.6, nu: int = 2, coarse_sweeps: int = 12,
                  dt: float | None = DynamicsConfig().dt,
                  chebyshev: bool = True, use_pallas=None,
-                 coarse_cg: int = 0):
+                 coarse_cg: int = 0, z_multiple: int = 1,
+                 spd_smoother: bool = True):
         self.scene = scene
         self.omega = omega
         self.nu = nu
@@ -59,71 +61,116 @@ class LatticeMG:
         # are why multigrid exists. A short CG solve costs ~nothing at the
         # coarsest size and makes the V-cycle contraction diameter-independent.
         self.coarse_cg = coarse_cg
+        # SPD-project smoother diag blocks (see linearize); disable only for
+        # guaranteed-PD regimes (e.g. mass-shifted dynamics) to shave the
+        # per-linearize eigh3x3 cost.
+        self.spd_smoother = spd_smoother
         self.chebyshev = chebyshev
         self.use_pallas = _use_pallas(use_pallas)
         mat = scene.material
 
-        levels = []
-        # Pad the VERTEX grid to odd dims in every axis (the transfers need
-        # odd sizes); the extra cells stay empty.
+        # z_multiple == 1 (default): pad the vertex grid to odd dims in every
+        # axis (classic 2n-1 transfers). z_multiple > 1 (the distributed
+        # multigrid): pad z to a multiple of z_multiple * 2^(L-1) instead, so
+        # EVERY level's z extent divides the device count exactly — GSPMD
+        # silently replicates a sharding constraint whose dim is not divisible
+        # by the mesh axis, and odd dims never are. z then halves exactly per
+        # level (even-grid transfers, see stencil.prolong_lat); x/y stay odd.
         vm = scene.vert_mask
         # dt=None -> quasi-static hierarchy (no inertia term in the diagonal)
         ctrl0 = mat.control_mag * scene.pin_mask
         if dt is not None:
             ctrl0 = ctrl0 + scene.mass * (1.0 / dt) ** 2
-        # pad vertex arrays to odd dims; cells arrays get matching size-1
-        def pad_v(a):
-            pw = [(0, 1 if a.shape[d] % 2 == 0 else 0) for d in range(3)]
-            pw += [(0, 0)] * (a.ndim - 3)
-            return jnp.pad(a, pw)
 
-        vm_p = pad_v(vm)
-        ctrl_p = pad_v(ctrl0)
-        cshape = tuple(s - 1 for s in vm_p.shape[:3])
-        cm_p = jnp.zeros(cshape, vm.dtype).at[
-            :scene.cell_mask.shape[0], :scene.cell_mask.shape[1],
-            :scene.cell_mask.shape[2]].set(scene.cell_mask)
-        self.pad_shape = vm_p.shape[:3]
+        def pad_xy(n):
+            return n if n % 2 else n + 1
 
-        dx = scene.mesh.dx
-        for li in range(n_levels):
-            g_tab, det = stencil.lattice_material_tables(dx)
-            levels.append(MGLevel(cell_mask=cm_p, vert_mask=vm_p,
-                                  ctrl=ctrl_p, g_tab=g_tab, det=float(det),
-                                  dx=dx))
-            if li == n_levels - 1:
-                break
-            # coarsen: coarse cell real iff any of its 8 fine cells is real
-            Cx, Cy, Cz = cm_p.shape
-            cpad = jnp.pad(cm_p, ((0, Cx % 2), (0, Cy % 2), (0, Cz % 2)))
-            c2 = cpad.reshape(cpad.shape[0] // 2, 2,
-                              cpad.shape[1] // 2, 2,
-                              cpad.shape[2] // 2, 2)
-            cm_c = (c2.max(axis=(1, 3, 5)) > 0).astype(cm_p.dtype)
-            # coarse vertex mask from coarse cells
-            vshape_c = tuple(s + 1 for s in cm_c.shape)
-            vm_c = jnp.zeros(vshape_c, vm.dtype)
-            for (di, dj, dk) in stencil._CORNERS:
-                vm_c = vm_c.at[di:di + cm_c.shape[0], dj:dj + cm_c.shape[1],
-                               dk:dk + cm_c.shape[2]].max(cm_c)
-            # conservative restriction of the control/mass diagonal
-            rc = stencil.restrict_lat(ctrl_p[..., None])[..., 0]
-            # shapes: restrict_lat halves (odd) vertex dims; pad to vshape_c
-            ctrl_c = jnp.zeros(vshape_c, vm.dtype).at[
-                :rc.shape[0], :rc.shape[1], :rc.shape[2]].set(rc)
-            ctrl_c = ctrl_c * vm_c
-            # pad coarse vertex grid to odd dims for the next level
-            def pad_v3(a):
-                pw = [(0, 1 if a.shape[d] % 2 == 0 else 0) for d in range(3)]
+        def build(tz0):
+            """Build the hierarchy with level-0 z padded to tz0. Returns
+            None if the even-z scheme would truncate a real coarse cell
+            (caller retries with more z padding)."""
+            def pad_to(a, tgt):
+                pw = [(0, tgt[d] - a.shape[d]) for d in range(3)]
+                pw += [(0, 0)] * (a.ndim - 3)
                 return jnp.pad(a, pw)
 
-            vm_p = pad_v3(vm_c)
-            ctrl_p = pad_v3(ctrl_c)
-            cm_p = jnp.zeros(tuple(s - 1 for s in vm_p.shape), vm.dtype).at[
-                :cm_c.shape[0], :cm_c.shape[1], :cm_c.shape[2]].set(cm_c)
-            dx = dx * 2.0
+            tgt0 = (pad_xy(vm.shape[0]), pad_xy(vm.shape[1]), tz0)
+            vm_p = pad_to(vm, tgt0)
+            ctrl_p = pad_to(ctrl0, tgt0)
+            cshape = tuple(s - 1 for s in vm_p.shape[:3])
+            cm_p = jnp.zeros(cshape, vm.dtype).at[
+                :scene.cell_mask.shape[0], :scene.cell_mask.shape[1],
+                :scene.cell_mask.shape[2]].set(scene.cell_mask)
+
+            levels = []
+            dx = scene.mesh.dx
+            for li in range(n_levels):
+                g_tab, det = stencil.lattice_material_tables(dx)
+                levels.append(MGLevel(cell_mask=cm_p, vert_mask=vm_p,
+                                      ctrl=ctrl_p, g_tab=g_tab,
+                                      det=float(det), dx=dx))
+                if li == n_levels - 1:
+                    break
+                # coarsen: coarse cell real iff any of its 8 fine cells is
+                Cx, Cy, Cz = cm_p.shape
+                cpad = jnp.pad(cm_p, ((0, Cx % 2), (0, Cy % 2), (0, Cz % 2)))
+                c2 = cpad.reshape(cpad.shape[0] // 2, 2,
+                                  cpad.shape[1] // 2, 2,
+                                  cpad.shape[2] // 2, 2)
+                cm_c = (c2.max(axis=(1, 3, 5)) > 0).astype(cm_p.dtype)
+                if z_multiple > 1:
+                    # even-z: coarse verts = Z/2 exactly -> coarse cell
+                    # planes = Z/2 - 1; a real cell in the dropped plane
+                    # means the slack was too small
+                    zc_cells = vm_p.shape[2] // 2 - 1
+                    if bool(np.asarray(cm_c[:, :, zc_cells:]).max() > 0):
+                        return None
+                    cm_c = cm_c[:, :, :zc_cells]
+                # coarse vertex mask from coarse cells
+                vshape_c = tuple(s + 1 for s in cm_c.shape)
+                vm_c = jnp.zeros(vshape_c, vm.dtype)
+                for (di, dj, dk) in stencil._CORNERS:
+                    vm_c = vm_c.at[di:di + cm_c.shape[0],
+                                   dj:dj + cm_c.shape[1],
+                                   dk:dk + cm_c.shape[2]].max(cm_c)
+                # conservative restriction of the control/mass diagonal
+                rc = stencil.restrict_lat(ctrl_p[..., None])[..., 0]
+                ctrl_c = jnp.zeros(vshape_c, vm.dtype).at[
+                    :rc.shape[0], :rc.shape[1], :rc.shape[2]].set(rc)
+                ctrl_c = ctrl_c * vm_c
+                # next level: x/y padded to odd; z already exact in even-z
+                # mode (halving preserves divisibility), next-odd otherwise
+                tz = vm_c.shape[2] if z_multiple > 1 \
+                    else (vm_c.shape[2] if vm_c.shape[2] % 2
+                          else vm_c.shape[2] + 1)
+                tgt = (pad_xy(vm_c.shape[0]), pad_xy(vm_c.shape[1]), tz)
+                vm_p = pad_to(vm_c, tgt)
+                ctrl_p = pad_to(ctrl_c, tgt)
+                cm_p = jnp.zeros(tuple(s - 1 for s in vm_p.shape),
+                                 vm.dtype).at[
+                    :cm_c.shape[0], :cm_c.shape[1], :cm_c.shape[2]].set(cm_c)
+                dx = dx * 2.0
+            return levels
+
+        Z = vm.shape[2]
+        if z_multiple == 1:
+            levels = build(Z if Z % 2 else Z + 1)
+        else:
+            unit = z_multiple * (2 ** (n_levels - 1))
+            q = -(-(Z + 1) // unit)
+            while (levels := build(q * unit)) is None:
+                q += 1
         self.levels = levels
         self.n_levels = len(levels)
+        self.pad_shape = levels[0].vert_mask.shape[:3]
+
+    # -- sharding hook ------------------------------------------------------
+    def constrain(self, li, a):
+        """Sharding-constraint hook, called on every level-li field entering
+        linearize/vcycle. Identity here; parallel.lattice_mg_dist overrides it
+        to shard fine levels over the device mesh and replicate coarse levels
+        (coarse-grid agglomeration), letting GSPMD insert halo collectives."""
+        return a
 
     # -- per-Newton linearization ------------------------------------------
     def linearize(self, x_pad):
@@ -138,6 +185,7 @@ class LatticeMG:
         ops = []
         x_l = x_pad
         for li, lvl in enumerate(self.levels):
+            x_l = self.constrain(li, x_l)
             vmask = lvl.vert_mask[..., None]
 
             if self.use_pallas:
@@ -172,6 +220,14 @@ class LatticeMG:
                     mat.lame_mu, mat.lame_la)
             diag = diag + (lvl.ctrl + (1.0 - lvl.vert_mask))[..., None, None] \
                 * jnp.eye(3, dtype=x_pad.dtype)
+            # SPD-project the smoother blocks (reference spd_matrix33f): at
+            # large deformation StVK diagonal blocks go indefinite and a
+            # near-singular block makes solve3x3 emit huge steps that blow
+            # up the Chebyshev polynomial (rMr swings of 1e13 observed on a
+            # sagging cantilever). The true operator stays unprojected —
+            # only the preconditioner is regularized.
+            if self.spd_smoother:
+                diag = ell.spd_project(diag, eps=1e-6, rel_floor=1e-3)
 
             lmax = (self._est_lmax(matvec, diag, vmask)
                     if self.chebyshev else None)
@@ -236,6 +292,7 @@ class LatticeMG:
         return x
 
     def vcycle(self, ops, b, level: int = 0):
+        b = self.constrain(level, b)
         matvec, diag, vmask, lmax = ops[level]
         if level == self.n_levels - 1:
             if self.coarse_cg > 0:
@@ -259,7 +316,7 @@ class LatticeMG:
         src = lvl.vert_mask.shape
         xf = stencil.prolong_lat(xc[:(src[0] + 1) // 2,
                                     :(src[1] + 1) // 2,
-                                    :(src[2] + 1) // 2])
+                                    :(src[2] + 1) // 2], shape=src)
         x = x + xf * vmask
         x = self._smooth(matvec, diag, vmask, b, x, self.nu, lmax)
         return x
@@ -289,7 +346,7 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
         return a[:shape[0], :shape[1], :shape[2]]
 
     def resid(xx):
-        return scene.dyn_force(xx, x_tilde, inv_dt)
+        return scene.dyn_force(xx, x_tilde, inv_dt, use_pallas=mg.use_pallas)
 
     def cond(c):
         xx, k, fn = c
@@ -321,7 +378,7 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
 def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
                           tol: float = 1e-4, max_newton: int = 50,
                           cg_iterations: int = 30, cg_tol: float = 1e-2,
-                          line_search: bool = True):
+                          line_search: bool = True, load_steps: int = 1):
     """Quasi-static Newton with GMG-preconditioned CG on the lattice.
 
     This is where multigrid earns its keep (the reference's central claim,
@@ -329,7 +386,12 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
     conditioning degrades with mesh diameter and block-Jacobi PCG iteration
     counts grow ~O(diameter), while the V-cycle keeps them flat. Build the
     LatticeMG with dt=None so the hierarchy's diagonals carry no mass term.
-    Returns (x, newton_iters, f_inf)."""
+    Returns (x, newton_iters, f_inf).
+
+    load_steps > 1: gravity continuation (see lattice.quasistatic_to_tol) —
+    essential for deep-sag problems, where each load increment keeps Newton
+    in the PD basin the V-cycle preconditioner is valid in. max_newton is
+    the per-stage budget; the returned count sums all stages."""
     shape = scene.vert_mask.shape
     pshape = mg.pad_shape
 
@@ -342,29 +404,44 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
     def unpad(a):
         return a[:shape[0], :shape[1], :shape[2]]
 
-    def resid(xx):
-        return scene.dyn_force(xx, xx, 0.0, use_pallas=mg.use_pallas)
+    def resid(xx, gs):
+        return scene.dyn_force(xx, xx, 0.0, use_pallas=mg.use_pallas,
+                               gravity_scale=gs)
 
-    def cond(c):
-        xx, k, fn = c
-        return (fn > tol) & (k < max_newton)
+    def solve_at(x0, gs):
+        def cond(c):
+            xx, k, fn = c
+            return (fn > tol) & (k < max_newton)
 
-    def body(c):
-        xx, k, _ = c
-        f = resid(xx)
-        ops = mg.linearize(pad(xx))
-        dx = cgmod.pcg_operator(ops[0][0], lambda r: mg.vcycle(ops, r),
-                                pad(f), iterations=cg_iterations, tol=cg_tol,
-                                flexible=mg.coarse_cg > 0)
-        vmask3 = scene.vert_mask[..., None]
-        if line_search:
-            from .lattice import armijo_step
-            xx = armijo_step(
-                lambda xe: scene.total_energy(xe, mg.use_pallas),
-                xx, f, unpad(dx), vmask3)
-        else:
-            xx = xx + unpad(dx) * vmask3
-        return (xx, k + 1, ell.inf_norm(resid(xx)))
+        def body(c):
+            xx, k, _ = c
+            f = resid(xx, gs)
+            ops = mg.linearize(pad(xx))
+            dx = cgmod.pcg_operator(ops[0][0], lambda r: mg.vcycle(ops, r),
+                                    pad(f), iterations=cg_iterations,
+                                    tol=cg_tol, flexible=mg.coarse_cg > 0)
+            vmask3 = scene.vert_mask[..., None]
+            if line_search:
+                from .lattice import armijo_step
+                xx = armijo_step(
+                    lambda xe: scene.total_energy(xe, mg.use_pallas,
+                                                  gravity_scale=gs),
+                    xx, f, unpad(dx), vmask3)
+            else:
+                xx = xx + unpad(dx) * vmask3
+            return (xx, k + 1, ell.inf_norm(resid(xx, gs)))
 
-    return jax.lax.while_loop(cond, body,
-                              (x, jnp.int32(0), ell.inf_norm(resid(x))))
+        return jax.lax.while_loop(
+            cond, body, (x0, jnp.int32(0), ell.inf_norm(resid(x0, gs))))
+
+    if load_steps <= 1:
+        return solve_at(x, 1.0)
+
+    def scan_body(carry, gs):
+        xc, ktot = carry
+        xc, k, fn = solve_at(xc, gs)
+        return (xc, ktot + k), fn
+
+    scales = jnp.linspace(1.0 / load_steps, 1.0, load_steps)
+    (x, ktot), fns = jax.lax.scan(scan_body, (x, jnp.int32(0)), scales)
+    return x, ktot, fns[-1]

@@ -1,0 +1,57 @@
+"""GSPMD distributed GMG path (parallel/lattice_mg_dist.py) vs single-chip.
+
+The distributed solver IS the single-chip solver (sim/lattice_mg.py) plus
+sharding constraints, so parity here pins that the constraints change the
+partitioning, not the math."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.sim.lattice import LatticeScene
+from fem_simulation_tpu.sim.lattice_mg import (LatticeMG,
+                                               quasistatic_to_tol_mg,
+                                               step_to_tol_mg)
+from fem_simulation_tpu.parallel.lattice_mg_dist import (
+    DistLatticeMG, make_dist_mg_quasistatic, make_dist_mg_step)
+
+
+def _mesh8():
+    return jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+
+
+def test_dist_mg_level_specs():
+    """Fine level z-extent padded to divide the mesh axis and sharded;
+    small coarse level replicated (agglomeration)."""
+    scene = LatticeScene(meshlib.beam(3, 3, 24, dx=0.1))
+    mg = DistLatticeMG(scene, _mesh8(), n_levels=2, dt=None)
+    assert mg.pad_shape[2] % 8 == 0
+    assert tuple(mg.level_specs[0]) == (None, None, "sp")
+    # coarse z = fine/2 = 16 planes < 4*8 -> replicated
+    assert tuple(mg.level_specs[1]) == ()
+
+
+def test_dist_mg_quasistatic_matches_single():
+    scene = LatticeScene(meshlib.beam(3, 3, 24, dx=0.1))
+    mg = LatticeMG(scene, n_levels=2, dt=None, use_pallas=False)
+    x1, k1, f1 = jax.jit(
+        lambda xx: quasistatic_to_tol_mg(scene, mg, xx, tol=1e-4))(scene.x0)
+
+    solve, place = make_dist_mg_quasistatic(scene, _mesh8(), n_levels=2)
+    x2, k2, f2 = solve(place(scene.x0))
+    assert float(f2) <= 1e-4
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-4)
+
+
+def test_dist_mg_dynamic_step_matches_single():
+    scene = LatticeScene(meshlib.beam(3, 3, 24, dx=0.1))
+    mg = LatticeMG(scene, n_levels=2, use_pallas=False)
+    st0 = scene.init_state()
+    st1, k1, f1 = jax.jit(
+        lambda s: step_to_tol_mg(scene, mg, s, tol=1e-4))(st0)
+
+    step, place = make_dist_mg_step(scene, _mesh8(), n_levels=2)
+    st2, k2, f2 = step(place(st0))
+    assert float(f2) <= 1e-4
+    np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
+                               atol=1e-4)
