@@ -88,7 +88,14 @@ def solve3x3(A: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def _jacobi_rotation(A, V, p: int, q: int):
-    """One cyclic-Jacobi rotation zeroing A[p, q] (batched)."""
+    """One cyclic-Jacobi rotation zeroing A[p, q] (batched).
+
+    Fully unrolled elementwise updates — no rotation-matrix matmuls.
+    Batched (N, 3, 3) @ (N, 3, 3) products lower to MXU dot_generals with
+    ~0.1% utilization and were measured at 190 ms per 66k-vertex multigrid
+    solve on v5e; the explicit row/column update formulas keep the whole
+    eigensolve on the VPU."""
+    r = 3 - p - q                       # the untouched index
     apq = A[..., p, q]
     app = A[..., p, p]
     aqq = A[..., q, q]
@@ -98,12 +105,22 @@ def _jacobi_rotation(A, V, p: int, q: int):
     t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
-    n = A.shape[-1]
-    J = jnp.zeros(A.shape[:-2] + (n, n), dtype=A.dtype) + jnp.eye(n, dtype=A.dtype)
-    J = J.at[..., p, p].set(c).at[..., q, q].set(c)
-    J = J.at[..., p, q].set(s).at[..., q, p].set(-s)
-    Jt = jnp.swapaxes(J, -1, -2)
-    return _mm(_mm(Jt, A), J), _mm(V, J)
+    arp = A[..., r, p]
+    arq = A[..., r, q]
+    app_n = app - t * apq
+    aqq_n = aqq + t * apq
+    arp_n = c * arp - s * arq
+    arq_n = s * arp + c * arq
+    zero = jnp.zeros_like(apq)
+    A = (A.at[..., p, p].set(app_n).at[..., q, q].set(aqq_n)
+          .at[..., p, q].set(zero).at[..., q, p].set(zero)
+          .at[..., r, p].set(arp_n).at[..., p, r].set(arp_n)
+          .at[..., r, q].set(arq_n).at[..., q, r].set(arq_n))
+    vp = V[..., :, p]
+    vq = V[..., :, q]
+    V = (V.at[..., :, p].set(c[..., None] * vp - s[..., None] * vq)
+          .at[..., :, q].set(s[..., None] * vp + c[..., None] * vq))
+    return A, V
 
 
 def eigh3x3(A: jnp.ndarray, sweeps: int = 6):
@@ -139,8 +156,52 @@ def spd_project(values: jnp.ndarray, eps: float,
         w = jnp.maximum(w, rel_floor * wmax + eps)
     else:
         w = jnp.where(w < 0.0, eps, w)
-    out = _einsum("nij,nj,nkj->nik", V, w, V)
+    # V diag(w) V^T as a sum of scaled outer products (elementwise; a
+    # batched tiny einsum here would land on the MXU at ~0.1% utilization)
+    out = sum(w[:, j, None, None] * V[:, :, None, j] * V[:, None, :, j]
+              for j in range(3))
     return out.reshape(shape)
+
+
+def eigvals3x3_sym(A: jnp.ndarray):
+    """Closed-form eigenvalues of symmetric 3x3 blocks (trigonometric
+    method, Smith 1961): (..., 3, 3) -> (lmin, lmax), each (...).
+
+    Purely elementwise — unlike the cyclic-Jacobi eigh3x3 it emits no
+    batched tiny matmuls (which are badly MXU-shaped and measured 190 ms
+    per 66k-vertex solve when used in the multigrid smoother)."""
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    ps = jnp.where(p > 1e-30, p, 1.0)
+    # det((A - qI)/p) / 2
+    detb = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(detb / (2.0 * ps * ps * ps), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lmax = q + 2.0 * p * jnp.cos(phi)
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    return lmin, lmax
+
+
+def spd_shift3x3(A: jnp.ndarray, rel_floor: float = 1e-3,
+                 eps: float = 1e-6) -> jnp.ndarray:
+    """Shift each symmetric 3x3 block by max(0, floor - lmin) * I so its
+    spectrum sits above floor = rel_floor * |lmax| + eps.
+
+    A cheap (elementwise) alternative to spd_project for preconditioner
+    blocks: an eigenvalue shift regularizes exactly like clamping but needs
+    no eigenvectors, so there are no tiny batched matmuls on the TPU hot
+    path. Slightly stronger than clamping (ALL eigenvalues move up by the
+    shift), which is harmless for a smoother."""
+    lmin, lmax = eigvals3x3_sym(A)
+    shift = jnp.maximum(0.0, rel_floor * jnp.abs(lmax) + eps - lmin)
+    return A + shift[..., None, None] * jnp.eye(3, dtype=A.dtype)
 
 
 def inf_norm(x: jnp.ndarray) -> jnp.ndarray:

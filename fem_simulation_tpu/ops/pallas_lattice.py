@@ -134,9 +134,14 @@ def elastic_energy_lattice(x_lat, cell_mask, dx: float, mu: float, la: float,
     ops.stencil.elastic_energy_lattice)."""
     if interpret is None:
         interpret = _interpret_default()
-    cells = _run_energy(jnp.transpose(x_lat, (3, 0, 1, 2)), cell_mask,
-                        float(dx), float(mu), float(la), interpret)
-    return jnp.sum(cells)
+    x_cf = jnp.transpose(x_lat, (3, 0, 1, 2))
+    # cell-output kernel: x-chunks partition cells exactly (no overlap sum)
+    total = 0.0
+    for (c0, c1) in _chunk_ranges(*cell_mask.shape):
+        total = total + jnp.sum(_run_energy(
+            x_cf[:, c0:c1 + 1], cell_mask[c0:c1],
+            float(dx), float(mu), float(la), interpret))
+    return total
 
 
 _DIAG_RS = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
@@ -211,8 +216,10 @@ def hess_diag_lattice(x_lat, cell_mask, dx: float, mu: float, la: float,
     Drop-in for ops.stencil.elastic_hessian_diag_lattice."""
     if interpret is None:
         interpret = _interpret_default()
-    d6 = _run_diag(jnp.transpose(x_lat, (3, 0, 1, 2)), cell_mask,
-                   float(dx), float(mu), float(la), interpret)
+    d6 = _chunked_vert_op(
+        lambda xk, cmk, _: _run_diag(xk, cmk, float(dx), float(mu),
+                                     float(la), interpret),
+        jnp.transpose(x_lat, (3, 0, 1, 2)), cell_mask)
     d6 = jnp.transpose(d6, (1, 2, 3, 0))        # (X, Y, Z, 6)
     rows = [jnp.stack([d6[..., 0], d6[..., 1], d6[..., 2]], axis=-1),
             jnp.stack([d6[..., 1], d6[..., 3], d6[..., 4]], axis=-1),
@@ -272,13 +279,67 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
+# -- x-axis chunking ---------------------------------------------------------
+# The kernels hold the whole grid in VMEM (no Pallas grid): ideal for the
+# long-thin beam shapes (a 17x17x257 beam pads to ~0.6 MB per field), but a
+# cubic grid like the voxelized kitten (50^3, lane dim padded 50->128) blows
+# the register allocator (measured: 253 MB of spill slots vs 128 MB VMEM in
+# _run_diag). Cells are 1-ring-local in x, so the fix is overlapping x-slabs
+# at the JAX level: chunk c gets vertex planes [c0, c1] and cell planes
+# [c0, c1); vertex-field outputs are partial at the shared boundary planes
+# and summed into place (the single-chip analog of the z-slab halo fold in
+# parallel/lattice_halo.py). Beam shapes stay single-chunk.
+
+_CHUNK_PADDED_VOL = 256 * 1024   # padded f32 elements per field per chunk
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _chunk_ranges(n_cells_x: int, y: int, z: int):
+    """[(c0, c1)] cell-plane ranges; single range when the padded per-field
+    volume fits the budget."""
+    padded = (n_cells_x + 1) * _round_up(y, 8) * _round_up(z, 128)
+    if padded <= _CHUNK_PADDED_VOL:
+        return [(0, n_cells_x)]
+    n_chunks = -(-padded // _CHUNK_PADDED_VOL)
+    per = -(-n_cells_x // n_chunks)
+    return [(i, min(i + per, n_cells_x))
+            for i in range(0, n_cells_x, per)]
+
+
+def _chunked_vert_op(run_one, x_cf, cm, extra_cf=None):
+    """Apply a verts->verts 1-ring kernel in overlapping x-slabs.
+
+    run_one(x_chunk, cm_chunk, extra_chunk) -> (C, c1-c0+1, Y, Z) with C
+    output channels; boundary vertex planes of each chunk hold partial sums
+    that add up across chunks."""
+    Xc = cm.shape[0]
+    ranges = _chunk_ranges(Xc, cm.shape[1], cm.shape[2])
+    if len(ranges) == 1:
+        return run_one(x_cf, cm, extra_cf)
+    out = None
+    for (c0, c1) in ranges:
+        xk = x_cf[:, c0:c1 + 1]
+        ek = None if extra_cf is None else extra_cf[:, c0:c1 + 1]
+        ok = run_one(xk, cm[c0:c1], ek)
+        if out is None:
+            out = jnp.zeros(ok.shape[:1] + (Xc + 1,) + ok.shape[2:],
+                            ok.dtype)
+        out = out.at[:, c0:c1 + 1].add(ok)
+    return out
+
+
 def force_cf(x_cf, cell_mask, dx: float, mu: float, la: float,
              interpret: bool | None = None):
     """Fused elastic force; x_cf (3, X, Y, Z) -> (3, X, Y, Z)."""
     if interpret is None:
         interpret = _interpret_default()
-    return _run(x_cf, cell_mask, None, float(dx), float(mu), float(la),
-                False, interpret)
+    return _chunked_vert_op(
+        lambda xk, cmk, _: _run(xk, cmk, None, float(dx), float(mu),
+                                float(la), False, interpret),
+        x_cf, cell_mask)
 
 
 def hvp_cf(x_cf, p_cf, cell_mask, dx: float, mu: float, la: float,
@@ -286,5 +347,7 @@ def hvp_cf(x_cf, p_cf, cell_mask, dx: float, mu: float, la: float,
     """Fused elastic Hessian-vector product (positive-definite convention)."""
     if interpret is None:
         interpret = _interpret_default()
-    return _run(x_cf, cell_mask, p_cf, float(dx), float(mu), float(la),
-                True, interpret)
+    return _chunked_vert_op(
+        lambda xk, cmk, pk: _run(xk, cmk, pk, float(dx), float(mu),
+                                 float(la), True, interpret),
+        x_cf, cell_mask, extra_cf=p_cf)

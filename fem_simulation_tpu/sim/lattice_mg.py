@@ -225,7 +225,11 @@ class LatticeMG:
             # near-singular block makes solve3x3 emit huge steps that blow
             # up the Chebyshev polynomial (rMr swings of 1e13 observed on a
             # sagging cantilever). The true operator stays unprojected —
-            # only the preconditioner is regularized.
+            # only the preconditioner is regularized. Projection (clamp
+            # negative eigenvalues, keep the positive subspace) beats a
+            # plain eigenvalue shift here: the shift damps every direction
+            # of an indefinite block and cost a cantilever solve 6x the
+            # Newton iterations in A/B runs.
             if self.spd_smoother:
                 diag = ell.spd_project(diag, eps=1e-6, rel_floor=1e-3)
 

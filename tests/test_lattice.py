@@ -218,6 +218,49 @@ def test_lattice_quasistatic_mg(meshes):
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
 
 
+def test_pallas_x_chunking_matches_single(monkeypatch):
+    """Overlapping x-slab chunking of the fused kernels (the VMEM guard for
+    cubic grids like the voxelized kitten) == single-chunk results."""
+    from fem_simulation_tpu.ops import pallas_lattice as plat
+    scene = LatticeScene(meshlib.beam(4, 3, 3, dx=0.1))
+    rng = np.random.default_rng(11)
+    x = scene.x0 + 0.02 * jnp.asarray(
+        rng.normal(size=scene.x0.shape).astype(np.float32)) \
+        * scene.vert_mask[..., None]
+    p = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    x_cf = jnp.transpose(x, (3, 0, 1, 2))
+    p_cf = jnp.transpose(p, (3, 0, 1, 2))
+    args = (scene.cell_mask, scene.mesh.dx, 250.0, 37.0)
+
+    # XLA stencil ops as reference (single-chunk Pallas == stencil is pinned
+    # by test_pallas_hess_diag_matches/test_pallas_energy_matches and the
+    # interpret stepping test; re-deriving them here would double the
+    # interpret-mode compile bill)
+    sargs = (scene.cell_mask, scene.g_tab, scene.det, 250.0, 37.0)
+    ref_f = stencil.elastic_force_lattice(x, *sargs)
+    _, jvp = jax.linearize(
+        lambda xx: stencil.elastic_force_lattice(xx, *sargs), x)
+    ref_h = -jvp(p)
+    ref_d = stencil.elastic_hessian_diag_lattice(x, *sargs)
+    ref_e = stencil.elastic_energy_lattice(x, *sargs)
+
+    monkeypatch.setattr(plat, "_CHUNK_PADDED_VOL", 4096)  # force 2 chunks
+    assert len(plat._chunk_ranges(*scene.cell_mask.shape)) == 2
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(plat.force_cf(x_cf, *args, interpret=True),
+                                 (1, 2, 3, 0))),
+        np.asarray(ref_f), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(
+            plat.hvp_cf(x_cf, p_cf, *args, interpret=True), (1, 2, 3, 0))),
+        np.asarray(ref_h), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(plat.hess_diag_lattice(x, *args, interpret=True)),
+        np.asarray(ref_d), rtol=1e-4, atol=1e-5)
+    assert float(plat.elastic_energy_lattice(x, *args, interpret=True)) \
+        == pytest.approx(float(ref_e), rel=1e-4)
+
+
 def test_lattice_quasistatic_mg_coarse_cg():
     """V-cycle with an inner-CG coarsest solve (non-stationary preconditioner
     -> flexible outer PCG) still reaches the block-Jacobi equilibrium.

@@ -79,6 +79,32 @@ def test_eigh3x3_and_spd_project():
     np.testing.assert_allclose(P2, spd, rtol=2e-2, atol=2e-3)
 
 
+def test_eigvals3x3_sym_and_spd_shift():
+    """Closed-form symmetric 3x3 eigenvalue extremes == LAPACK; the shift
+    regularizer makes every block comfortably positive definite."""
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(200, 3, 3))
+    A = 0.5 * (A + np.transpose(A, (0, 2, 1)))
+    # include degenerate blocks (zero, isotropic) among the samples
+    A[0] = 0.0
+    A[1] = np.eye(3) * 2.5
+    lmin, lmax = ell.eigvals3x3_sym(jnp.asarray(A.astype(np.float32)))
+    wr = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(lmin), wr[:, 0], rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lmax), wr[:, 2], rtol=1e-3,
+                               atol=1e-4)
+    S = np.asarray(ell.spd_shift3x3(jnp.asarray(A.astype(np.float32)),
+                                    rel_floor=1e-3))
+    ws = np.linalg.eigvalsh(S)
+    assert (ws[:, 0] >= 1e-3 * np.abs(wr[:, 2]) - 1e-5).all()
+    # already-well-conditioned SPD blocks pass through unchanged
+    spd = A @ np.transpose(A, (0, 2, 1)) + 0.5 * np.eye(3)
+    S2 = np.asarray(ell.spd_shift3x3(
+        jnp.asarray(spd.astype(np.float32)), rel_floor=1e-3))
+    np.testing.assert_allclose(S2, spd, rtol=1e-4, atol=2e-3)
+
+
 def test_jacobi_matches_dense_iteration(system):
     """x_{k+1} = D^{-1} (b - (L+U) x_k) from x=0, 3 iterations."""
     lvl, op, vals, b = system
