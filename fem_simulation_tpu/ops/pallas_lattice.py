@@ -219,7 +219,8 @@ def hess_diag_lattice(x_lat, cell_mask, dx: float, mu: float, la: float,
     d6 = _chunked_vert_op(
         lambda xk, cmk, _: _run_diag(xk, cmk, float(dx), float(mu),
                                      float(la), interpret),
-        jnp.transpose(x_lat, (3, 0, 1, 2)), cell_mask)
+        jnp.transpose(x_lat, (3, 0, 1, 2)), cell_mask,
+        budget=_CHUNK_PADDED_VOL_DIAG)
     d6 = jnp.transpose(d6, (1, 2, 3, 0))        # (X, Y, Z, 6)
     rows = [jnp.stack([d6[..., 0], d6[..., 1], d6[..., 2]], axis=-1),
             jnp.stack([d6[..., 1], d6[..., 3], d6[..., 4]], axis=-1),
@@ -290,33 +291,43 @@ def _interpret_default():
 # and summed into place (the single-chip analog of the z-slab halo fold in
 # parallel/lattice_halo.py). Beam shapes stay single-chunk.
 
-_CHUNK_PADDED_VOL = 256 * 1024   # padded f32 elements per field per chunk
+# Padded f32 elements per field per chunk. Calibrated on v5e: the 66k-vert
+# beam tile (17 x 24 x 384 = 157k) compiles for force/hvp and is the
+# flagship fast path (must stay single-chunk); the kitten tile
+# (34 x 56 x 128 = 243k) spills 253 MB in _run_diag. The diag kernel's
+# live set is ~2x the force/hvp one (an 18-plane kitten chunk still spilled
+# 121 MB), so it gets its own smaller budget — the extra launches are
+# negligible (one diag per Newton linearization vs tens of hvp matvecs).
+_CHUNK_PADDED_VOL = 160_000
+_CHUNK_PADDED_VOL_DIAG = 64_000
 
 
 def _round_up(n, m):
     return -(-n // m) * m
 
 
-def _chunk_ranges(n_cells_x: int, y: int, z: int):
+def _chunk_ranges(n_cells_x: int, y: int, z: int, budget: int | None = None):
     """[(c0, c1)] cell-plane ranges; single range when the padded per-field
     volume fits the budget."""
+    if budget is None:
+        budget = _CHUNK_PADDED_VOL
     padded = (n_cells_x + 1) * _round_up(y, 8) * _round_up(z, 128)
-    if padded <= _CHUNK_PADDED_VOL:
+    if padded <= budget:
         return [(0, n_cells_x)]
-    n_chunks = -(-padded // _CHUNK_PADDED_VOL)
+    n_chunks = -(-padded // budget)
     per = -(-n_cells_x // n_chunks)
     return [(i, min(i + per, n_cells_x))
             for i in range(0, n_cells_x, per)]
 
 
-def _chunked_vert_op(run_one, x_cf, cm, extra_cf=None):
+def _chunked_vert_op(run_one, x_cf, cm, extra_cf=None, budget=None):
     """Apply a verts->verts 1-ring kernel in overlapping x-slabs.
 
     run_one(x_chunk, cm_chunk, extra_chunk) -> (C, c1-c0+1, Y, Z) with C
     output channels; boundary vertex planes of each chunk hold partial sums
     that add up across chunks."""
     Xc = cm.shape[0]
-    ranges = _chunk_ranges(Xc, cm.shape[1], cm.shape[2])
+    ranges = _chunk_ranges(Xc, cm.shape[1], cm.shape[2], budget)
     if len(ranges) == 1:
         return run_one(x_cf, cm, extra_cf)
     out = None

@@ -188,7 +188,12 @@ class LatticeMG:
             x_l = self.constrain(li, x_l)
             vmask = lvl.vert_mask[..., None]
 
-            if self.use_pallas:
+            # Pallas per level only when the lane (z) extent is substantial:
+            # kernels on short-z coarse grids (e.g. the voxelized kitten's
+            # 15-plane level 1) faulted the TPU worker outright, and the XLA
+            # stencil is plenty for a grid 8x smaller than the fine level.
+            pallas_l = self.use_pallas and lvl.cell_mask.shape[2] >= 16
+            if pallas_l:
                 # fused analytic HVP kernel (~11x the XLA einsum chain on v5e)
                 x_cf = jnp.transpose(x_l, (3, 0, 1, 2))
 
@@ -211,7 +216,7 @@ class LatticeMG:
                     return (-jvp(p) + lvl.ctrl[..., None] * p) \
                         * lvl.vert_mask[..., None]
 
-            if self.use_pallas:
+            if pallas_l:
                 diag = plat.hess_diag_lattice(x_l, lvl.cell_mask, lvl.dx,
                                               mat.lame_mu, mat.lame_la)
             else:
