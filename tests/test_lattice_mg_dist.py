@@ -31,6 +31,25 @@ def test_dist_mg_level_specs():
     assert tuple(mg.level_specs[1]) == ()
 
 
+def test_even_z_hierarchy_on_irregular_mesh():
+    """The even-z build's truncation-retry loop must never drop a real
+    coarse cell on irregular voxel masks (build-only; no solve)."""
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG
+    m = meshlib.load_hex_mesh("/root/reference/assets/objs/kitten.obj",
+                              0.04, normalize=True)
+    scene = LatticeScene(m)
+    mg = DistLatticeMG(scene, _mesh8(), n_levels=3, dt=None)
+    ref = LatticeMG(scene, n_levels=3, dt=None, use_pallas=False)
+    assert mg.pad_shape[2] % (8 * 4) == 0
+    for lvl, rlvl in zip(mg.levels, ref.levels):
+        # same number of REAL cells per level as the odd-padded hierarchy
+        assert int(np.asarray(lvl.cell_mask).sum()) \
+            == int(np.asarray(rlvl.cell_mask).sum())
+        # every real cell has its 8 corner vertices flagged
+        assert int(np.asarray(lvl.vert_mask).sum()) \
+            >= int(np.asarray(lvl.cell_mask).sum())
+
+
 def test_dist_mg_quasistatic_matches_single():
     scene = LatticeScene(meshlib.beam(3, 3, 24, dx=0.1))
     mg = LatticeMG(scene, n_levels=2, dt=None, use_pallas=False)
