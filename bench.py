@@ -132,7 +132,10 @@ def main():
             return run
         params = None
     else:
-        scene = Scene(m, solver=SolverConfig(n_levels=2))
+        # pins flow through to the unstructured path too (Scene takes
+        # mesh-order vertex ids like LatticeScene); previously --pins zmin
+        # with matfree/cg/mg/fas silently benchmarked the top-pinned problem
+        scene = Scene(m, solver=SolverConfig(n_levels=2), pins=pins)
         st0 = dynamic.init_state(scene)
         params = scene.params
 

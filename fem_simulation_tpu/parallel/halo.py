@@ -225,7 +225,7 @@ def dist_cg(matvec, b_shards, mesh: Mesh, axis: str = "sp",
 
     def cond(c):
         x, r, p, rs, k = c
-        return (k < iterations) & (rs > stop)
+        return (k < iterations) & (rs > stop) & jnp.isfinite(rs)
 
     def body(c):
         x, r, p, rs, k = c

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import ell, stencil
 from ..ops import pallas_lattice as plat
+from ..solvers import cg as cgmod
 
 
 def _use_pallas(flag):
@@ -320,12 +321,8 @@ def make_dist_step(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
         xb = xb + vb * dt
         x_tilde = xb
 
-        def cond(c):
-            xx, k, fn = c
-            return (fn > tol) & (k < max_newton)
-
         def body(c):
-            xx, k, _ = c
+            xx, k, _, fmin = c
             f = resid(xx, x_tilde)
 
             def matvec(p):
@@ -344,7 +341,9 @@ def make_dist_step(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
 
             def cg_cond(cc):
                 xs, r, p, z, rz, i = cc
-                return (i <= cg_iterations) & (jnp.sum(r * r) > cg_tol * rr0)
+                rr = jnp.sum(r * r)
+                return ((i <= cg_iterations) & (rr > cg_tol * rr0)
+                        & jnp.isfinite(rr))
 
             def cg_body(cc):
                 xs, r, p, z, rz, i = cc
@@ -360,11 +359,14 @@ def make_dist_step(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
             dx = jax.lax.while_loop(cg_cond, cg_body,
                                     (x_sol, r, p, z, rz, jnp.int32(1)))[0]
             xx = xx + dx * vmask[..., None]
-            return (xx, k + 1, inf_norm(resid(xx, x_tilde)))
+            fn = inf_norm(resid(xx, x_tilde))
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
-        xb, k, fn = jax.lax.while_loop(
-            cond, body, (xb, jnp.int32(0), inf_norm(resid(xb, x_tilde))))
+        fn0 = inf_norm(resid(xb, x_tilde))
+        xb, k, fn, _ = jax.lax.while_loop(
+            cgmod.newton_cond(tol, max_newton), body,
+            (xb, jnp.int32(0), fn0, fn0))
         vb = (xb - x_old) * inv_dt
-        return xb, vb, k, fn
+        return xb, vb, k, cgmod.newton_exit_norm(fn)
 
     return step, blockify

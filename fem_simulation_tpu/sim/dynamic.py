@@ -170,18 +170,15 @@ def step_to_tol(scene: Scene, params, st: DynState,
     def resid(xx):
         return _dyn_force(scene, params, st, xx, x_tilde, inv_dt)
 
-    def cond(carry):
-        xx, k, fn = carry
-        return (fn > tol) & (k < max_newton)
-
     p0 = params["levels"][0]
     mat = scene.material
 
     def body(carry):
-        xx, k, _ = carry
+        xx, k, _, fmin = carry
         if use_fas:
             xx, f = fas_dynamic_cycle(scene, params, st, xx, x_tilde, inv_dt)
-            return (xx, k + 1, ell.inf_norm(resid(xx)))
+            fn = ell.inf_norm(resid(xx))
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
         f = resid(xx)
         if matrix_free:
             _, jvp_fn = jax.linearize(resid, xx)
@@ -213,12 +210,15 @@ def step_to_tol(scene: Scene, params, st: DynState,
             dx = cgmod.cg(op, vals, f, iterations=scene.solver.cg_iterations,
                           tol=scene.solver.cg_tol)
         xx = xx + dx
-        return (xx, k + 1, ell.inf_norm(resid(xx)))
+        fn = ell.inf_norm(resid(xx))
+        return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
-    x, k, fn = jax.lax.while_loop(cond, body, (x, jnp.int32(0),
-                                               ell.inf_norm(resid(x))))
+    fn0 = ell.inf_norm(resid(x))
+    x, k, fn, _ = jax.lax.while_loop(
+        cgmod.newton_cond(tol, max_newton), body,
+        (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, fn
+    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn)
 
 
 class DynamicSim:

@@ -172,10 +172,6 @@ def step_to_tol(scene: LatticeScene, st: LatState,
                                drag_mask=st.drag_mask, drag_pos=st.drag_pos,
                                use_pallas=pallas)
 
-    def cond(c):
-        xx, k, fn = c
-        return (fn > tol) & (k < max_newton)
-
     eye = jnp.eye(3, dtype=st.x.dtype)
     ctrl = (mat.control_mag * jnp.maximum(scene.pin_mask, st.drag_mask)
             + scene.mass * inv_dt * inv_dt
@@ -185,7 +181,7 @@ def step_to_tol(scene: LatticeScene, st: LatState,
     vmask3 = scene.vert_mask[..., None]
 
     def body(c):
-        xx, k, _ = c
+        xx, k, _, fmin = c
         f = resid(xx)
         if pallas:
             xx_cf = jnp.transpose(xx, (3, 0, 1, 2))
@@ -203,12 +199,15 @@ def step_to_tol(scene: LatticeScene, st: LatState,
         dx = cgmod.pcg_operator(matvec, minv, f,
                                 iterations=cg_iterations, tol=cg_tol)
         xx = xx + dx * vmask3
-        return (xx, k + 1, ell.inf_norm(resid(xx)))
+        fn = ell.inf_norm(resid(xx))
+        return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
-    x, k, fn = jax.lax.while_loop(cond, body,
-                                  (x, jnp.int32(0), ell.inf_norm(resid(x))))
+    fn0 = ell.inf_norm(resid(x))
+    x, k, fn, _ = jax.lax.while_loop(
+        cgmod.newton_cond(tol, max_newton), body,
+        (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, fn
+    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn)
 
 
 class LatticeDynamicSim:
@@ -304,12 +303,8 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                                gravity_scale=gs)
 
     def solve_at(x0, gs):
-        def cond(c):
-            xx, k, fn = c
-            return (fn > tol) & (k < max_newton)
-
         def body(c):
-            xx, k, _ = c
+            xx, k, _, fmin = c
             f = resid(xx, gs)
             if pallas:
                 xx_cf = jnp.transpose(xx, (3, 0, 1, 2))
@@ -334,10 +329,14 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                     xx, f, dx, vmask3)
             else:
                 xx = xx + dx * vmask3
-            return (xx, k + 1, ell.inf_norm(resid(xx, gs)))
+            fn = ell.inf_norm(resid(xx, gs))
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
-        return jax.lax.while_loop(
-            cond, body, (x0, jnp.int32(0), ell.inf_norm(resid(x0, gs))))
+        fn0 = ell.inf_norm(resid(x0, gs))
+        xo, k, fn, _ = jax.lax.while_loop(
+            cgmod.newton_cond(tol, max_newton), body,
+            (x0, jnp.int32(0), fn0, fn0))
+        return xo, k, cgmod.newton_exit_norm(fn)
 
     if load_steps <= 1:
         return solve_at(x, 1.0)

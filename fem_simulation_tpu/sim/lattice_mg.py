@@ -357,12 +357,8 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
     def resid(xx):
         return scene.dyn_force(xx, x_tilde, inv_dt, use_pallas=mg.use_pallas)
 
-    def cond(c):
-        xx, k, fn = c
-        return (fn > tol) & (k < max_newton)
-
     def body(c):
-        xx, k, _ = c
+        xx, k, _, fmin = c
         f = resid(xx)
         ops = mg.linearize(pad(xx))
 
@@ -376,12 +372,15 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
                                 iterations=cg_iterations, tol=cg_tol,
                                 flexible=mg.coarse_cg > 0)
         xx = xx + unpad(dx) * scene.vert_mask[..., None]
-        return (xx, k + 1, ell.inf_norm(resid(xx)))
+        fn = ell.inf_norm(resid(xx))
+        return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
-    x, k, fn = jax.lax.while_loop(cond, body,
-                                  (x, jnp.int32(0), ell.inf_norm(resid(x))))
+    fn0 = ell.inf_norm(resid(x))
+    x, k, fn, _ = jax.lax.while_loop(
+        cgmod.newton_cond(tol, max_newton), body,
+        (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, fn
+    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn)
 
 
 def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
@@ -418,12 +417,8 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
                                gravity_scale=gs)
 
     def solve_at(x0, gs):
-        def cond(c):
-            xx, k, fn = c
-            return (fn > tol) & (k < max_newton)
-
         def body(c):
-            xx, k, _ = c
+            xx, k, _, fmin = c
             f = resid(xx, gs)
             ops = mg.linearize(pad(xx))
             dx = cgmod.pcg_operator(ops[0][0], lambda r: mg.vcycle(ops, r),
@@ -438,10 +433,14 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
                     xx, f, unpad(dx), vmask3)
             else:
                 xx = xx + unpad(dx) * vmask3
-            return (xx, k + 1, ell.inf_norm(resid(xx, gs)))
+            fn = ell.inf_norm(resid(xx, gs))
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
-        return jax.lax.while_loop(
-            cond, body, (x0, jnp.int32(0), ell.inf_norm(resid(x0, gs))))
+        fn0 = ell.inf_norm(resid(x0, gs))
+        xo, k, fn, _ = jax.lax.while_loop(
+            cgmod.newton_cond(tol, max_newton), body,
+            (x0, jnp.int32(0), fn0, fn0))
+        return xo, k, cgmod.newton_exit_norm(fn)
 
     if load_steps <= 1:
         return solve_at(x, 1.0)

@@ -19,6 +19,33 @@ from ..ops import ell
 
 EPSILON = 1e-7  # reference object.py:18
 
+# Newton divergence backstop: exit when the residual norm grows this factor
+# above its running minimum. A diverging-but-finite solve otherwise keeps
+# feeding growing values into the smoother polynomial / Pallas kernels until
+# something overflows (the suspected kitten+latmg TPU-worker-fault trigger,
+# CLAUDE.md), and a NaN residual would exit the plain `fn > tol` condition
+# looking exactly like convergence.
+NEWTON_BLOWUP = 1e3
+
+
+def newton_cond(tol, max_newton, blowup: float = NEWTON_BLOWUP):
+    """Guarded Newton while_loop condition over carries (x, k, fn, fmin).
+
+    Stops on: convergence (fn <= tol), budget (k >= max_newton), non-finite
+    residual, or divergence (fn > blowup * running-min). Bodies must append
+    ``jnp.minimum(fmin, fn_new)`` as the 4th carry element."""
+    def cond(c):
+        _, k, fn, fmin = c
+        return ((fn > tol) & (k < max_newton) & jnp.isfinite(fn)
+                & (fn <= blowup * fmin))
+    return cond
+
+
+def newton_exit_norm(fn):
+    """Map a non-finite final residual to +inf so callers' `fn <= tol`
+    convergence checks cannot mistake a NaN exit for success."""
+    return jnp.where(jnp.isfinite(fn), fn, jnp.inf)
+
 
 def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     """CG on an abstract linear operator (used matrix-free: matvec is the
@@ -36,7 +63,8 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     def cond(carry):
         x, r, p, rs, k, alive = carry
-        return alive & (k <= iterations) & (rs > tol * rs0) & (rs0 > EPSILON)
+        return (alive & (k <= iterations) & (rs > tol * rs0)
+                & (rs0 > EPSILON) & jnp.isfinite(rs))
 
     def body(carry):
         x, r, p, rs, k, alive = carry
@@ -76,7 +104,8 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
     def cond(carry):
         x, r, p, z, rz, k, alive = carry
         rr = ell.vdot(r, r)
-        return alive & (k <= iterations) & (rr > tol * rr0) & (rr0 > EPSILON)
+        return (alive & (k <= iterations) & (rr > tol * rr0)
+                & (rr0 > EPSILON) & jnp.isfinite(rr))
 
     def body(carry):
         x, r, p, z, rz, k, alive = carry
@@ -121,7 +150,8 @@ def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     def cond(carry):
         x, r, p, rs, k, alive = carry
-        return alive & (k <= iterations) & (rs > tol * rs0) & (rs0 > EPSILON)
+        return (alive & (k <= iterations) & (rs > tol * rs0)
+                & (rs0 > EPSILON) & jnp.isfinite(rs))
 
     def body(carry):
         x, r, p, rs, k, alive = carry

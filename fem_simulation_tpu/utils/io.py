@@ -58,7 +58,8 @@ def save_pytree(path: str, tree):
     import jax
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     np.savez(path, *[np.asarray(l) for l in leaves])
-    with open(path + ".tree", "w") as fh:
+    base = path[:-len(".npz")] if path.endswith(".npz") else path
+    with open(base + ".tree", "w") as fh:
         fh.write(str(treedef))
 
 
@@ -66,14 +67,27 @@ def load_pytree(path: str, like):
     """Load arrays saved by save_pytree into the structure of `like`.
 
     `like` supplies the treedef (e.g. a freshly initialized params pytree);
-    leaves are matched by flatten order and shape-checked."""
+    leaves are matched by flatten order and shape-checked. When the `.tree`
+    sidecar save_pytree wrote exists, its structure string must match
+    `like`'s — flatten order + shapes alone cannot tell two same-shaped
+    fields apart (e.g. two (N, 3) arrays assigned to swapped keys)."""
+    import os
     import jax
     import jax.numpy as jnp
+    base = path[:-len(".npz")] if path.endswith(".npz") else path
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path)
     leaves = [data[k] for k in data.files]
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    sidecar = base + ".tree"
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            saved = fh.read()
+        if saved != str(treedef):
+            raise ValueError(
+                f"{path}: saved tree structure does not match `like`:\n"
+                f"  saved:    {saved}\n  expected: {treedef}")
     if len(leaves) != len(like_leaves):
         raise ValueError(f"{path}: {len(leaves)} saved leaves, structure "
                          f"expects {len(like_leaves)}")

@@ -3,9 +3,12 @@
 The distributed solver IS the single-chip solver (sim/lattice_mg.py) plus
 sharding constraints, so parity here pins that the constraints change the
 partitioning, not the math."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from fem_simulation_tpu import mesh as meshlib
 from fem_simulation_tpu.sim.lattice import LatticeScene
@@ -31,12 +34,16 @@ def test_dist_mg_level_specs():
     assert tuple(mg.level_specs[1]) == ()
 
 
+KITTEN = "/root/reference/assets/objs/kitten.obj"
+
+
+@pytest.mark.skipif(not os.path.exists(KITTEN),
+                    reason="reference assets not available")
 def test_even_z_hierarchy_on_irregular_mesh():
     """The even-z build's truncation-retry loop must never drop a real
     coarse cell on irregular voxel masks (build-only; no solve)."""
     from fem_simulation_tpu.sim.lattice_mg import LatticeMG
-    m = meshlib.load_hex_mesh("/root/reference/assets/objs/kitten.obj",
-                              0.04, normalize=True)
+    m = meshlib.load_hex_mesh(KITTEN, 0.04, normalize=True)
     scene = LatticeScene(m)
     mg = DistLatticeMG(scene, _mesh8(), n_levels=3, dt=None)
     ref = LatticeMG(scene, n_levels=3, dt=None, use_pallas=False)
