@@ -22,10 +22,13 @@ EPSILON = 1e-7  # reference object.py:18
 # Newton divergence backstop: exit when the residual norm grows this factor
 # above its running minimum. A diverging-but-finite solve otherwise keeps
 # feeding growing values into the smoother polynomial / Pallas kernels until
-# something overflows (the suspected kitten+latmg TPU-worker-fault trigger,
-# CLAUDE.md), and a NaN residual would exit the plain `fn > tol` condition
-# looking exactly like convergence.
-NEWTON_BLOWUP = 1e3
+# something overflows, and a NaN residual would exit the plain `fn > tol`
+# condition looking exactly like convergence. The factor is deliberately
+# HUGE: Newton globalized by an ENERGY line search has legitimate residual
+# transients of 1e3-1e4x (measured on the kitten: rest residual 3e-4, first
+# accepted step 0.77 — then convergence), so the guard must only catch
+# trajectories headed for float overflow, not non-monotone residuals.
+NEWTON_BLOWUP = 1e6
 
 
 def newton_cond(tol, max_newton, blowup: float = NEWTON_BLOWUP):
@@ -51,13 +54,20 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     """CG on an abstract linear operator (used matrix-free: matvec is the
     jax.linearize'd Hessian-vector product of the force — the explicit matrix
     never exists; see SURVEY.md section 2.2 'matrix-free Hessian-vector
-    product')."""
+    product').
+
+    Runs on a normalized RHS (see pcg_operator) so the absolute small-
+    denominator guards are scale-free."""
+    rr_b = ell.vdot(b, b)
+    ok_b = rr_b > 0.0
+    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
+    b = b / inv_scale
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
     else:
-        x = x0
-        r = b - matvec(x0)
+        x = x0 / inv_scale
+        r = b - matvec(x)
 
     rs0 = ell.vdot(r, r)
 
@@ -81,7 +91,7 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     carry = (x, r, r, rs0, jnp.int32(1), jnp.bool_(True))
     x, r, p, rs, k, alive = jax.lax.while_loop(cond, body, carry)
-    return x
+    return x * jnp.where(ok_b, inv_scale, 0.0)
 
 
 def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
@@ -93,7 +103,19 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
 
     flexible=True uses the Polak-Ribiere beta (z_new . (r_new - r_old)) —
     required when minv is non-stationary, e.g. a V-cycle whose coarsest level
-    is itself an inner CG solve (LatticeMG coarse_cg)."""
+    is itself an inner CG solve (LatticeMG coarse_cg).
+
+    The solve runs on a normalized RHS b/||b|| (result scaled back): the
+    small-denominator guards (pap >= 1e-12, ||r||^2 > EPSILON) are absolute,
+    and on a small-magnitude system — e.g. the multigrid coarsest-level
+    solve of an almost-converged Newton step, where ||b||^2 ~ 1e-7 — they
+    otherwise shut the solver off entirely (the r3 kitten-divergence bug:
+    coarse_cg=8 and =64 returned bit-identical garbage because the inner CG
+    never ran)."""
+    rr_b = ell.vdot(b, b)
+    ok_b = rr_b > 0.0
+    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
+    b = b / inv_scale
     x = jnp.zeros_like(b)
     r = b
     z = minv(r)
@@ -127,24 +149,31 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
 
     carry = (x, r, p, z, rz, jnp.int32(1), jnp.bool_(True))
     out = jax.lax.while_loop(cond, body, carry)
+    x = out[0] * jnp.where(ok_b, inv_scale, 0.0)
     if return_iters:
-        return out[0], out[5]
-    return out[0]
+        return x, out[5]
+    return x
 
 
 def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
-    """Solve A x = b. Returns x after at most `iterations` steps."""
+    """Solve A x = b. Returns x after at most `iterations` steps.
+
+    Normalized RHS (see pcg_operator) keeps the absolute guards scale-free."""
     full_vals = values * op.mask[..., None, None]
 
     def matvec(v):
         return ell.spmv(full_vals, op.nbr, op.mask, v)
 
+    rr_b = ell.vdot(b, b)
+    ok_b = rr_b > 0.0
+    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
+    b = b / inv_scale
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
     else:
-        x = x0
-        r = b - matvec(x0)
+        x = x0 / inv_scale
+        r = b - matvec(x)
 
     rs0 = ell.vdot(r, r)
 
@@ -169,4 +198,4 @@ def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     carry = (x, r, r, rs0, jnp.int32(1), jnp.bool_(True))
     x, r, p, rs, k, alive = jax.lax.while_loop(cond, body, carry)
-    return x
+    return x * jnp.where(ok_b, inv_scale, 0.0)

@@ -29,8 +29,8 @@ def test_newton_cond_logic():
     assert not c(10, 1.0, 1.0)            # budget exhausted
     assert not c(0, jnp.nan, 1.0)         # NaN residual: exit
     assert not c(0, jnp.inf, 1.0)         # inf residual: exit
-    assert not c(0, 2e3, 1.0)             # grew 2000x over running min: exit
-    assert c(0, 999.0, 1.0)               # below the blowup factor: continue
+    assert not c(0, 2e6, 1.0)             # grew 2e6 x over running min: exit
+    assert c(0, 999.0, 1.0)               # transients stay allowed: continue
 
 
 def test_newton_exit_norm_flags_nonfinite():

@@ -58,11 +58,14 @@ def test_newton_multigrid_converges(scene):
 def test_newton_mg_beats_newton(scene):
     """The reference's core claim (README.md:17-19): at equal iteration
     count, Newton-MG reaches a STRICTLY lower force norm than single-level
-    Newton (calibrated: ~5.5e-6 vs ~3.9e-5 at 20 iterations on this beam)."""
+    Newton. Compared at iteration 10, where the gap is structural
+    (calibrated: ~7.1e-6 vs ~9.5e-5 on this beam) — by iteration ~15 BOTH
+    solvers sit at the float32 residual plateau (~6-7e-6), so a later
+    comparison would only compare noise floors."""
     sim1 = QuasiStaticSim(scene)
-    _, fn1 = sim1.newton(20)
+    _, fn1 = sim1.newton(10)
     sim2 = QuasiStaticSim(scene)
-    _, fn2 = sim2.newton_multigrid(20)
+    _, fn2 = sim2.newton_multigrid(10)
     assert np.asarray(fn2)[-1] < np.asarray(fn1)[-1]
 
 
