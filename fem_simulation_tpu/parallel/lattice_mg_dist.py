@@ -27,13 +27,36 @@ contract.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
+import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DynamicsConfig
-from ..sim.lattice import LatState, LatticeScene
+from ..ops import pallas_lattice as plat
+from ..sim.lattice import LatState, LatticeScene, _use_pallas
 from ..sim.lattice_mg import (LatticeMG, quasistatic_to_tol_mg,
                               step_to_tol_mg)
+
+
+def _cell_slabs(cell_mask, n_sp: int):
+    """(D, Cx, Cy, z_loc+1) extended local cell slabs for a level whose
+    vertex z-extent Z (= Cz+1) divides n_sp. Device d's extended vertex
+    block covers global planes [d*z_loc-1, (d+1)*z_loc], i.e. z_loc+1 local
+    cell planes; local plane c (global zc = d*z_loc-1+c) is real iff the
+    device owns its lower vertex plane (c >= 1) — each global cell is
+    computed by exactly one device, so the halo fold is a partition sum."""
+    cm = np.asarray(cell_mask)
+    Cx, Cy, Cz = cm.shape
+    z_loc = (Cz + 1) // n_sp
+    slabs = np.zeros((n_sp, Cx, Cy, z_loc + 1), np.float32)
+    for d in range(n_sp):
+        for c in range(1, z_loc + 1):
+            zc = d * z_loc - 1 + c
+            if zc < Cz:
+                slabs[d, :, :, c] = cm[:, :, zc]
+    return jnp.asarray(slabs)
 
 
 class DistLatticeMG(LatticeMG):
@@ -43,17 +66,26 @@ class DistLatticeMG(LatticeMG):
     parallel/lattice_halo.py); levels with fewer than
     ``min_planes_per_dev`` vertex planes per device are replicated.
 
-    Forces ``use_pallas=False``: Pallas kernels are opaque to the SPMD
-    partitioner (a sharded operand would force an all-gather around every
-    kernel call); the XLA stencil path partitions into local stencils +
-    halo exchanges automatically. The Pallas hot loop stays available on
-    the explicit-halo path (lattice_halo.make_dist_step).
+    Transfers, smoother vector ops, and CG reductions stay plain GSPMD jnp
+    code (XLA inserts the collectives). The per-level MATVEC and DIAG —
+    the hot ops — are where GSPMD used to forfeit the fused Pallas kernels
+    (they are opaque to the SPMD partitioner, which would all-gather every
+    operand). ``use_pallas`` (default: on TPU) now routes sharded levels
+    through a ``shard_map`` wrapper instead: ghost-plane ``ppermute``
+    exchange + the SAME local Pallas kernels as parallel/lattice_halo.py +
+    boundary fold — 4 vertex planes of ICI per matvec, the 1-ring minimum.
+    Replicated coarse levels keep the XLA stencil path (their z extents
+    are short, exactly where Pallas is gated off single-chip too).
     """
 
     def __init__(self, scene: LatticeScene, mesh: Mesh, axis: str = "sp",
-                 min_planes_per_dev: int = 4, **kw):
+                 min_planes_per_dev: int = 4, use_pallas=None, **kw):
         self.mesh = mesh
         self.axis = axis
+        self.pallas_halo = _use_pallas(use_pallas)
+        # base class runs the XLA stencil path everywhere it builds ops
+        # itself (replicated coarse levels); sharded levels are overridden
+        # in _level_matvec_diag below.
         kw["use_pallas"] = False
         n_sp = mesh.shape[axis]
         # even-z hierarchy: every level's z extent is a multiple of n_sp.
@@ -64,18 +96,77 @@ class DistLatticeMG(LatticeMG):
         kw.setdefault("z_multiple", n_sp)
         super().__init__(scene, **kw)
         self.level_specs = []
-        for lvl in self.levels:
+        self._level_cell_slabs = {}
+        for li, lvl in enumerate(self.levels):
             z_planes = lvl.vert_mask.shape[2]
             sharded = (z_planes >= min_planes_per_dev * n_sp
                        and z_planes % n_sp == 0)
             self.level_specs.append(
                 P(None, None, axis) if sharded else P())
+            if sharded and self.pallas_halo:
+                self._level_cell_slabs[li] = _cell_slabs(lvl.cell_mask, n_sp)
 
     def constrain(self, li, a):
         spec = self.level_specs[li]
         full = P(*(tuple(spec) + (None,) * (a.ndim - 3)))
         return jax.lax.with_sharding_constraint(
             a, NamedSharding(self.mesh, full))
+
+    # -- Pallas matvec/diag on sharded levels (shard_map + plane halo) -----
+    def _level_matvec_diag(self, li, lvl, x_l):
+        if li not in self._level_cell_slabs:
+            return super()._level_matvec_diag(li, lvl, x_l)
+        mesh, axis = self.mesh, self.axis
+        D = mesh.shape[axis]
+        mat = self.scene.material
+        mu, la, dx = mat.lame_mu, mat.lame_la, lvl.dx
+        cell_slabs = self._level_cell_slabs[li]
+        perm_up = [(i, i + 1) for i in range(D - 1)]
+        perm_dn = [(i + 1, i) for i in range(D - 1)]
+
+        def _extend(x):
+            # local (X, Y, z_loc, C) -> ghost-padded (X, Y, z_loc+2, C):
+            # bottom ghost = left neighbor's top owned plane, and vice versa
+            lo = jax.lax.ppermute(x[:, :, -1], axis, perm_up)
+            hi = jax.lax.ppermute(x[:, :, 0], axis, perm_dn)
+            return jnp.concatenate([lo[:, :, None], x, hi[:, :, None]],
+                                   axis=2)
+
+        def _fold(f):
+            # ghost-plane partial outputs belong to the neighbor's boundary
+            # owned plane (each cell computed on exactly one device)
+            from_left = jax.lax.ppermute(f[:, :, -1], axis, perm_up)
+            from_right = jax.lax.ppermute(f[:, :, 0], axis, perm_dn)
+            f = f[:, :, 1:-1]
+            return f.at[:, :, 0].add(from_left).at[:, :, -1].add(from_right)
+
+        def _local_hvp(x, p, cmb):
+            xe = jnp.transpose(_extend(x), (3, 0, 1, 2))
+            pe = jnp.transpose(_extend(p), (3, 0, 1, 2))
+            hp = jnp.transpose(plat.hvp_cf(xe, pe, cmb[0], dx, mu, la),
+                               (1, 2, 3, 0))
+            return _fold(hp)
+
+        def _local_diag(x, cmb):
+            d = plat.hess_diag_lattice(_extend(x), cmb[0], dx, mu, la)
+            return _fold(d)
+
+        # check_vma=False: pallas_call emits ShapeDtypeStruct outputs with
+        # no varying-mesh-axes annotation, which the vma checker rejects
+        v_spec = P(None, None, axis, None)
+        mv = shard_map(_local_hvp, mesh=mesh,
+                       in_specs=(v_spec, v_spec, P(axis, None, None, None)),
+                       out_specs=v_spec, check_vma=False)
+        dg = shard_map(_local_diag, mesh=mesh,
+                       in_specs=(v_spec, P(axis, None, None, None)),
+                       out_specs=P(None, None, axis, None, None),
+                       check_vma=False)
+
+        def matvec(p, x_l=x_l, lvl=lvl):
+            hp = mv(x_l, p, cell_slabs)
+            return (hp + lvl.ctrl[..., None] * p) * lvl.vert_mask[..., None]
+
+        return matvec, dg(x_l, cell_slabs)
 
 
 def _state_sharding(mesh: Mesh, axis: str, z: int):
