@@ -244,8 +244,8 @@ def test_pallas_x_chunking_matches_single(monkeypatch):
     ref_d = stencil.elastic_hessian_diag_lattice(x, *sargs)
     ref_e = stencil.elastic_energy_lattice(x, *sargs)
 
-    monkeypatch.setattr(plat, "_CHUNK_PADDED_VOL", 4096)  # force 2 chunks
-    monkeypatch.setattr(plat, "_CHUNK_PADDED_VOL_DIAG", 4096)
+    monkeypatch.setenv("FEM_TPU_CHUNK_VOL", "4096")  # force 2 chunks
+    monkeypatch.setenv("FEM_TPU_CHUNK_VOL_DIAG", "4096")
     assert len(plat._chunk_ranges(*scene.cell_mask.shape)) == 2
     np.testing.assert_allclose(
         np.asarray(jnp.transpose(plat.force_cf(x_cf, *args, interpret=True),
