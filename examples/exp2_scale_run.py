@@ -1,0 +1,77 @@
+"""exp2 at reference scale: >= 1,000 SGD steps on a >= 19k-vertex mesh.
+
+The reference trains hundreds of taped steps and ships the trained weights
+as a bundled artifact (/root/reference/exp2/P/quasi_simulation/
+object.py:1198-1287, assets/p/Ut_noOrder_0.pth). This driver is the
+equivalent production run on the TPU: the whole SGD loop is one lax.scan
+dispatch (models/train_interp.py), so 1,000 steps cost one compile + one
+device program. Artifacts land in results/ (weights + classic-vs-trained
+compare plot + a metrics row) for the repo record.
+
+Run on the real TPU: python examples/exp2_scale_run.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+import numpy as np
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.config import SolverConfig, TrainInterpConfig
+from fem_simulation_tpu.sim import Scene
+from fem_simulation_tpu.models.train_interp import InterpTrainer
+from fem_simulation_tpu.utils.io import MetricsLogger
+from fem_simulation_tpu.utils.viz import plot_convergence
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="P", choices=["P", "p_hat"])
+    ap.add_argument("--iterations", type=int, default=1000)
+    ap.add_argument("--beam", default="16,16,72",
+                    help="17x17x73 = 21k verts, reference demo scale")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", f"exp2_scale_{args.mode}")
+
+    shape = tuple(int(s) for s in args.beam.split(","))
+    m = meshlib.beam(*shape, dx=0.05)
+    scene = Scene(m, solver=SolverConfig(n_levels=2))
+    n = scene.level(0).n_verts
+    print(f"mesh: beam{shape} = {n} verts", flush=True)
+
+    tr = InterpTrainer(scene, TrainInterpConfig(mode=args.mode, loss="l2"))
+    t0 = time.time()
+    hist = tr.train(args.iterations)
+    # force readback through the axon tunnel before timing
+    t1 = time.time()
+    print(f"train: {args.iterations} steps in {t1 - t0:.1f}s "
+          f"(loss {hist[0]:.4e} -> {hist[-1]:.4e})", flush=True)
+    tr.save(f"{out}_weights.npz")
+
+    cmp = tr.compare(iterations=8)
+    plot_convergence(cmp, f"{out}_compare.png",
+                     title=f"classic vs trained interpolation "
+                           f"({args.mode}, {n} verts)")
+    log = MetricsLogger(csv_path=f"{out}_metrics.csv")
+    log.log(0, n_verts=n, iterations=args.iterations,
+            seconds=t1 - t0, loss_first=float(hist[0]),
+            loss_last=float(hist[-1]),
+            classic_last=float(cmp["classic"][-1]),
+            trained_last=float(cmp["trained"][-1]))
+    log.close()
+    print("classic residuals:", cmp["classic"], flush=True)
+    print("trained residuals:", cmp["trained"], flush=True)
+    assert cmp["trained"][-1] < cmp["classic"][-1], \
+        "trained transfer must beat classic at scale"
+    print(f"wrote {out}_weights.npz, {out}_compare.png, {out}_metrics.*")
+
+
+if __name__ == "__main__":
+    main()

@@ -158,21 +158,29 @@ class InterpTrainer:
         """Classic vs trained transfer: per-cycle fine residual inf-norms
         (reference compare, exp2/P/quasi_simulation/object.py:1290-1366 runs
         the full FAS-style cycle incl. a fine GS sweep; smooth=False applies
-        only the bare trained cycle)."""
+        only the bare trained cycle).
+
+        Device-resident: each weight set's cycle series is ONE lax.scan
+        dispatch (the round-2 version read a float back per cycle —
+        harmless at 5 cycles, but a trap as a training-eval inner loop)."""
         t = self.scene.params["transfers"][0]
         w_classic = t["t_w"] if self.cfg.mode == "P" else t["t_w_norm"]
-        out = {}
-        for name, w in (("classic", w_classic), ("trained", self.w)):
-            x_cur = self.scene.x0 if x is None else x
-            series = []
-            for _ in range(iterations):
+        x0 = self.scene.x0 if x is None else x
+
+        @jax.jit
+        def run(w, x_cur):
+            def body(x_cur, _):
                 if smooth:
                     x_cur = self._fine_smooth(x_cur)
                 x_cur = self._apply_cycle(w, x_cur)
                 r = qs.total_force(self.scene, self.scene.params, x_cur)
-                series.append(float(ell.inf_norm(r)))
-            out[name] = np.asarray(series)
-        return out
+                return x_cur, ell.inf_norm(r)
+            _, series = jax.lax.scan(body, x_cur, None, length=iterations)
+            return series
+
+        return {name: np.asarray(run(w, x0))
+                for name, w in (("classic", w_classic),
+                                ("trained", self.w))}
 
     def _fine_smooth(self, x):
         """One fine colored-GS sweep (the FAS pre-smoothing, object.py:1483)."""
