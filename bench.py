@@ -34,6 +34,11 @@ def main():
                          "unit-scale meshes, BASELINE.md)")
     ap.add_argument("--dx", type=float, default=0.05)
     ap.add_argument("--beam", default="8,8,24")
+    ap.add_argument("--shell", default=None,
+                    help="X,Y,Z,T hollow-box voxel shape (walls T cells "
+                         "thick) — the low-bbox-fill stress shape for the "
+                         "box-cover lattice path (ops/boxes.py); overrides "
+                         "--beam/--mesh")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--precise", action="store_true",
@@ -57,15 +62,20 @@ def main():
                     help="coarsest-level inner CG iterations for latmg "
                          "(0 = Chebyshev sweeps, the measured-faster "
                          "default on top-pinned problems)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the XLA stencil path even on TPU (A/B knob "
+                         "for isolating Pallas-kernel effects)")
     ap.add_argument("--mg-no-spd", action="store_true",
                     help="skip SPD projection of the latmg smoother blocks "
                          "(A/B knob; projection is needed for indefinite "
                          "large-deformation Hessians)")
-    ap.add_argument("--load-steps", type=int, default=1,
+    ap.add_argument("--load-steps", default=1,
+                    type=lambda s: s if s == "auto" else int(s),
                     help="gravity-continuation increments for --quasistatic "
                          "(incremental loading; needed on deep-sag "
                          "cantilevers where single-shot Newton wanders the "
-                         "indefinite StVK region)")
+                         "indefinite StVK region); 'auto' = adaptive "
+                         "step-doubling/halving continuation")
     ap.add_argument("--solver", default="lattice",
                     choices=["lattice", "latmg", "matfree", "cg", "mg", "fas"],
                     help="stepping path: structured-lattice matrix-free CG "
@@ -86,10 +96,14 @@ def main():
     from fem_simulation_tpu.config import SolverConfig
     from fem_simulation_tpu.sim import Scene, dynamic
 
-    shape = tuple(int(s) for s in args.beam.split(","))
-    m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape,
-                              normalize=(args.mesh is not None
-                                         and not args.no_normalize))
+    if args.shell is not None:
+        sx, sy, sz, t = (int(s) for s in args.shell.split(","))
+        m = meshlib.shell(sx, sy, sz, thickness=t, dx=args.dx)
+    else:
+        shape = tuple(int(s) for s in args.beam.split(","))
+        m = meshlib.load_hex_mesh(args.mesh, args.dx, beam_shape=shape,
+                                  normalize=(args.mesh is not None
+                                             and not args.no_normalize))
     pins = _make_pins(args, m)
 
     if args.quasistatic:
@@ -100,11 +114,12 @@ def main():
         from fem_simulation_tpu.sim.lattice import LatticeScene
         from fem_simulation_tpu.sim import lattice as latmod
         lscene = LatticeScene(m, pins=pins)
-        if lscene.fill < 0.05:
+        if lscene.fill < 0.05 and lscene.boxes is None:
             # The fused Pallas lattice kernels beat the unstructured path by
             # ~2 orders of magnitude per site (428 vs ~3 ms/step on the
-            # voxelized kitten), so the embedding stays worthwhile down to a
-            # few percent fill; only degenerate shells fall back.
+            # voxelized kitten), and the box cover (ops/boxes.py) keeps the
+            # lattice path cheap on low-fill shapes; only shapes where even
+            # the cover cannot cut the padded volume fall back.
             solver = "matfree"
 
     if solver in ("lattice", "latmg"):
@@ -113,7 +128,8 @@ def main():
             from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
             lmg = LatticeMG(lscene, n_levels=args.mg_levels,
                             coarse_cg=args.mg_coarse_cg,
-                            spd_smoother=not args.mg_no_spd)
+                            spd_smoother=not args.mg_no_spd,
+                            use_pallas=False if args.no_pallas else None)
 
         def make_run(n):
             @jax.jit
@@ -124,9 +140,9 @@ def main():
                         st2, k, fn = step_to_tol_mg(lscene, lmg, st,
                                                     tol=args.tol, max_newton=20)
                     else:
-                        st2, k, fn = latmod.step_to_tol(lscene, st,
-                                                        tol=args.tol,
-                                                        max_newton=20)
+                        st2, k, fn = latmod.step_to_tol(
+                            lscene, st, tol=args.tol, max_newton=20,
+                            use_pallas=False if args.no_pallas else None)
                     return st2, fn
                 return jax.lax.scan(body, st, None, length=n)
             return run
@@ -231,7 +247,8 @@ def bench_quasistatic(args, m, pins=None):
     if solver == "latmg":
         lmg = LatticeMG(lscene, n_levels=args.mg_levels, dt=None,
                         coarse_cg=args.mg_coarse_cg,
-                        spd_smoother=not args.mg_no_spd)
+                        spd_smoother=not args.mg_no_spd,
+                        use_pallas=False if args.no_pallas else None)
 
     n_rep = max(args.frames // 10, 4)
     # distinct tiny rest-state perturbations defeat cross-repeat CSE
@@ -246,9 +263,10 @@ def bench_quasistatic(args, m, pins=None):
                                                  max_newton=100,
                                                  load_steps=args.load_steps)
             else:
-                x, k, fn = quasistatic_to_tol(lscene, x, tol=args.tol,
-                                              max_newton=100,
-                                              load_steps=args.load_steps)
+                x, k, fn = quasistatic_to_tol(
+                    lscene, x, tol=args.tol, max_newton=100,
+                    load_steps=args.load_steps,
+                    use_pallas=False if args.no_pallas else None)
             return carry, (k, fn)
         _, (ks, fns) = jax.lax.scan(body, 0.0, seeds)
         return ks, fns

@@ -187,6 +187,21 @@ def beam(nx: int, ny: int, nz: int, dx: float = 0.05,
     return hex_mesh_from_cells(cells, dx, np.asarray(origin, dtype=np.float64))
 
 
+def shell(nx: int, ny: int, nz: int, thickness: int = 2,
+          dx: float = 0.05, origin=(0.0, 0.0, 0.0)) -> HexMesh:
+    """Procedural hollow box: an nx*ny*nz voxel block with the interior
+    carved out, leaving walls ``thickness`` cells thick. The canonical
+    low-bbox-fill stress shape for the box-cover lattice path
+    (ops/boxes.py): fill ~ 6*t/min_extent."""
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    t = thickness
+    interior = ((ii >= t) & (ii < nx - t) & (jj >= t) & (jj < ny - t)
+                & (kk >= t) & (kk < nz - t))
+    cells = np.stack([ii, jj, kk], axis=-1)[~interior]
+    return hex_mesh_from_cells(cells, dx, np.asarray(origin, dtype=np.float64))
+
+
 def load_hex_mesh(scene_mesh_path: str | None, dx: float,
                   beam_shape=(8, 8, 24), normalize: bool = False) -> HexMesh:
     """Load-or-generate entry point used by sims and benchmarks.
