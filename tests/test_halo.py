@@ -74,3 +74,37 @@ def test_dist_cg_matches_single(setup):
     got = gather(x_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_dist_newton_step_matches_single_chip():
+    """Full distributed Newton dynamic step on the unstructured block-ELL
+    path (halo.make_dist_newton_step): one implicit-Euler frame solved to
+    tolerance over an 8-device z-slab mesh must converge and match the
+    single-chip matrix-free step (sim/dynamic.py step_to_tol)."""
+    from fem_simulation_tpu.config import SolverConfig
+    from fem_simulation_tpu.sim import Scene, dynamic
+    from fem_simulation_tpu.parallel.halo import (make_dist_newton_step,
+                                                  slab_scatter, slab_gather)
+
+    m = meshlib.beam(3, 3, 24, dx=0.1)
+    scene = Scene(m, solver=SolverConfig(n_levels=2))
+    lvl = scene.hier.levels[0]
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+    part = partition_slabs(lvl, 8)
+    step = make_dist_newton_step(scene, part, mesh, tol=1e-4)
+
+    x_sh = slab_scatter(part, scene.x0)
+    v_sh = jnp.zeros_like(x_sh)
+    x2, v2, k, fn = jax.jit(step)(x_sh, v_sh)
+    fn = float(np.asarray(fn).max())
+    assert np.isfinite(np.asarray(x2)).all()
+    assert fn <= 1e-4 * 1.01, f"distributed Newton missed tol: {fn:.3e}"
+    assert int(np.asarray(k).max()) >= 1
+
+    # single-chip reference: same predictor + matrix-free Newton to tol
+    st = dynamic.init_state(scene)
+    st2, k1, fn1 = dynamic.step_to_tol(scene, scene.params, st, tol=1e-4,
+                                       max_newton=20, matrix_free=True)
+    xg = slab_gather(part, x2, lvl.n_verts)
+    err = np.abs(xg - np.asarray(st2.x)).max()
+    assert err < 1e-3, f"distributed step deviates from single-chip: {err}"
