@@ -351,7 +351,8 @@ def armijo_step(energy_fn, xx, f, dx, vmask3, n_back: int = 16,
 
 def adaptive_continuation(solve_at, x, tol: float, max_newton_stage: int,
                           max_stages: int = 64, fast_k: int | None = None,
-                          dgs0: float = 1.0, min_dgs: float = 1.0 / 256.0):
+                          dgs0: float = 1.0, min_dgs: float = 1.0 / 256.0,
+                          return_trace: bool = False):
     """Adaptive incremental loading: march gravity_scale 0 -> 1 with a
     step-doubling/halving trust region on the load increment.
 
@@ -359,40 +360,68 @@ def adaptive_continuation(solve_at, x, tol: float, max_newton_stage: int,
     problem (the 37k deep-bend cantilever needed --load-steps 8 and 481
     Newton in round 2). Here each stage solves at gs = gs_done + dgs with
     a bounded Newton budget; success commits the stage (and doubles dgs if
-    it converged fast), failure — budget exhausted, divergence-guard exit,
-    or NaN — rejects it and halves dgs, retrying from the last good state.
+    it converged fast). A failed stage — budget exhausted, divergence-guard
+    exit, or NaN — is triaged by how much it reduced the residual:
+
+    * substantial progress (fn halved vs the previous attempt at this gs):
+      WARM-START — retry the same load from the failed state. This is the
+      decisive case in practice: the 37k cantilever's first full-load
+      attempt reaches fn=9.9e-4 at the 100-iteration budget (measured
+      stage trace) and converges in a handful more; rejecting it instead
+      cascades into a full halving spiral where every mid-range load
+      plateaus and the continuation stalls outright.
+    * plateau (no meaningful reduction): reject — halve dgs and retry from
+      the last committed state.
+
     Easy problems pay nothing: the first stage tries gs=1 outright.
 
     solve_at(x, gs) -> (x, k, fn) is the guarded Newton stage solver
     (lattice or MG); returned k totals ALL stages including rejected ones
-    (honest accounting). Returns (x, k_total, fn_final)."""
+    (honest accounting). Returns (x, k_total, fn_final); with
+    return_trace=True also a (max_stages, 3) array of per-stage
+    (gs_attempted, newton_iters, fn) rows (nan-padded) for diagnostics."""
     if fast_k is None:
         fast_k = max(max_newton_stage // 4, 4)
 
     def cond(c):
-        gs_done, dgs, xx, ktot, n, fn = c
+        gs_done, dgs, xx, x_good, ktot, n, fn, fn_prev, _ = c
         return (gs_done < 1.0) & (n < max_stages) & (dgs >= min_dgs)
 
     def body(c):
-        gs_done, dgs, xx, ktot, n, _ = c
+        gs_done, dgs, xx, x_good, ktot, n, _, fn_prev, trace = c
         dgs_c = jnp.minimum(dgs, 1.0 - gs_done)
         gs = gs_done + dgs_c
         xn, k, fn = solve_at(xx, gs)
         ok = fn <= tol
-        xx = jnp.where(ok, xn, xx)
+        # warm-start retry: the attempt halved the residual vs the previous
+        # attempt at this same load — keep grinding it instead of rejecting
+        warm = (~ok) & jnp.isfinite(fn) & (fn <= 0.5 * fn_prev)
+        x_good = jnp.where(ok, xn, x_good)
+        xx = jnp.where(ok | warm, xn, x_good)
         gs_done = jnp.where(ok, gs, gs_done)
         dgs = jnp.where(ok,
                         jnp.where(k <= fast_k, dgs * 2.0, dgs),
-                        dgs * 0.5)
-        return (gs_done, dgs, xx, ktot + k, n + 1, fn)
+                        jnp.where(warm, dgs, dgs * 0.5))
+        # fn_prev tracks attempts at ONE load value; reset when gs changes
+        fn_prev = jnp.where(warm, fn, jnp.inf)
+        trace = trace.at[n].set(
+            jnp.stack([gs, k.astype(trace.dtype), fn]))
+        return (gs_done, dgs, xx, x_good, ktot + k, n + 1, fn, fn_prev,
+                trace)
 
     f32 = x.dtype
-    gs_done, dgs, x, ktot, n, fn = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0.0, f32), jnp.asarray(dgs0, f32), x,
-                     jnp.int32(0), jnp.int32(0), jnp.asarray(jnp.inf, f32)))
+    trace0 = jnp.full((max_stages, 3), jnp.nan, f32)
+    inf = jnp.asarray(jnp.inf, f32)
+    gs_done, dgs, x, x_good, ktot, n, fn, fn_prev, trace = \
+        jax.lax.while_loop(
+            cond, body, (jnp.asarray(0.0, f32), jnp.asarray(dgs0, f32), x,
+                         x, jnp.int32(0), jnp.int32(0), inf, inf, trace0))
     # fn is the last stage's residual; if continuation stalled before
     # gs=1 report +inf so callers see non-convergence
+    x = jnp.where(gs_done >= 1.0, x, x_good)
     fn = jnp.where(gs_done >= 1.0, fn, jnp.inf)
+    if return_trace:
+        return x, ktot, fn, trace
     return x, ktot, fn
 
 
@@ -400,7 +429,8 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                        max_newton: int = 50, cg_iterations: int = 60,
                        cg_tol: float = 1e-2, use_pallas=None,
                        line_search: bool = True,
-                       load_steps: int | str = 1):
+                       load_steps: int | str = 1,
+                       return_trace: bool = False):
     """Quasi-static Newton to ||f||_inf <= tol on the lattice (the fast-path
     equivalent of QuasiStaticSim.newton* for lattice-friendly meshes): same
     machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn).
@@ -459,14 +489,18 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
             (x0, jnp.int32(0), fn0, fn0))
         return xo, k, cgmod.newton_exit_norm(fn)
 
-    return _run_load_schedule(solve_at, x, tol, max_newton, load_steps)
+    return _run_load_schedule(solve_at, x, tol, max_newton, load_steps,
+                              return_trace=return_trace)
 
 
-def _run_load_schedule(solve_at, x, tol, max_newton, load_steps):
+def _run_load_schedule(solve_at, x, tol, max_newton, load_steps,
+                       return_trace: bool = False):
     """Shared tail of the quasi-static drivers: single-shot, fixed K-stage
     gravity continuation, or adaptive ("auto") continuation."""
     if load_steps == "auto":
-        return adaptive_continuation(solve_at, x, tol, max_newton)
+        return adaptive_continuation(solve_at, x, tol, max_newton,
+                                     return_trace=return_trace)
+    assert not return_trace, "return_trace requires load_steps='auto'"
     if load_steps <= 1:
         return solve_at(x, 1.0)
 

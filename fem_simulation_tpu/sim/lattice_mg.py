@@ -436,7 +436,8 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
                           tol: float = 1e-4, max_newton: int = 50,
                           cg_iterations: int = 30, cg_tol: float = 1e-2,
                           line_search: bool = True,
-                          load_steps: int | str = 1):
+                          load_steps: int | str = 1,
+                          return_trace: bool = False):
     """Quasi-static Newton with GMG-preconditioned CG on the lattice.
 
     This is where multigrid earns its keep (the reference's central claim,
@@ -495,4 +496,5 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
         return xo, k, cgmod.newton_exit_norm(fn)
 
     from .lattice import _run_load_schedule
-    return _run_load_schedule(solve_at, x, tol, max_newton, load_steps)
+    return _run_load_schedule(solve_at, x, tol, max_newton, load_steps,
+                              return_trace=return_trace)

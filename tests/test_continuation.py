@@ -50,6 +50,28 @@ def test_halving_then_redoubling():
     assert 8 <= int(k) <= 30
 
 
+def test_warm_start_retries_same_load():
+    # A stage solver that steadily grinds the residual down by 4x per call
+    # but cannot reach tol inside one stage budget: the driver must retry
+    # the SAME load warm-started from the failed state (not halve the
+    # increment away the progress) — the measured failure mode on the 37k
+    # cantilever, whose first full-load attempt hit fn=9.9e-4 at the
+    # 100-iteration budget and was thrown away by the pre-fix driver.
+    def grind(x, gs):
+        fn = jnp.maximum(x / 4.0, jnp.asarray(TOL / 2, jnp.float32))
+        return fn, jnp.int32(5), fn
+
+    x, k, fn, trace = adaptive_continuation(
+        grind, jnp.asarray(1.0, jnp.float32), TOL, max_newton_stage=20,
+        return_trace=True)
+    assert float(fn) <= TOL
+    trace = np.asarray(trace)
+    rows = trace[~np.isnan(trace[:, 0])]
+    # every attempt stayed at the full load; no halving spiral
+    np.testing.assert_allclose(rows[:, 0], 1.0)
+    assert int(k) == 5 * len(rows)
+
+
 def test_stall_reports_inf():
     def never(x, gs):
         return x, jnp.int32(3), jnp.asarray(jnp.inf, jnp.float32)
