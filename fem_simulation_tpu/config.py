@@ -78,6 +78,12 @@ class TrainInterpConfig:
     row_norm_weight: float = 1.0
     mode: str = "P"                  # "P" (residual-side) or "p_hat" (position-side)
     loss: str = "inf"                # "inf" (reference parity) or "l2"
+    optimizer: str = "sgd"           # "sgd" (reference parity, Valueaxpy
+                                     # cublas.py:156-167) or "adam" (the
+                                     # reference's own Adam moment kernels,
+                                     # cublas.py:172-197, applied to the
+                                     # interp weights; needed at 20k+ verts
+                                     # where plain SGD barely moves the loss)
 
 
 @dataclasses.dataclass(frozen=True)
