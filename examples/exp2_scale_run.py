@@ -30,7 +30,12 @@ from fem_simulation_tpu.utils.viz import plot_convergence
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="P", choices=["P", "p_hat"])
+    ap.add_argument("--mode", default="p_hat", choices=["P", "p_hat"],
+                    help="p_hat (default) trains the position-side "
+                         "restriction — the reference's own shipped artifact "
+                         "(assets/p/Ut_noOrder_0.pth) and the mode whose "
+                         "trained bare cycle stays contractive when "
+                         "iterated; P trains the residual transfer")
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--optimizer", default="adam", choices=["sgd", "adam"],
                     help="adam (default): at 20k+ verts plain SGD at the "
@@ -63,6 +68,9 @@ def main():
           f"(loss {hist[0]:.4e} -> {hist[-1]:.4e})", flush=True)
     tr.save(f"{out}_weights.npz")
 
+    # reference-protocol compare: the BARE trained cycle iterated
+    # (exp2/P/quasi_simulation/object.py:1290-1366 — no fine smoothing),
+    # i.e. exactly the operator the training loss optimizes
     cmp = tr.compare(iterations=8)
     plot_convergence(cmp, f"{out}_compare.png",
                      title=f"classic vs trained interpolation "

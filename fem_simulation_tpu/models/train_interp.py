@@ -187,11 +187,18 @@ class InterpTrainer:
         self.w = jnp.asarray(data["w"])
         return self
 
-    def compare(self, iterations: int = 5, x=None, smooth: bool = True):
-        """Classic vs trained transfer: per-cycle fine residual inf-norms
-        (reference compare, exp2/P/quasi_simulation/object.py:1290-1366 runs
-        the full FAS-style cycle incl. a fine GS sweep; smooth=False applies
-        only the bare trained cycle).
+    def compare(self, iterations: int = 5, x=None, smooth: bool = False):
+        """Classic vs trained transfer: per-cycle fine residual inf-norms.
+
+        smooth=False (default) is the reference's own compare — the BARE
+        cycle iterated (exp2/P/quasi_simulation/object.py:1290-1366: residual
+        -> restrict -> coarse Jacobi -> prolong -> update, no fine smoothing)
+        and exactly the operator the training loss optimizes. smooth=True
+        prepends a fine colored-GS sweep per cycle (the FAS-style usage,
+        object.py:1483); useful for judging the transfer inside a full
+        solver, but at scale the GS sweep dominates the residual and washes
+        out the trained-vs-classic difference — don't use it as the
+        training's acceptance metric.
 
         Device-resident: each weight set's cycle series is ONE lax.scan
         dispatch (the round-2 version read a float back per cycle —
