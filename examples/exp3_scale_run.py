@@ -3,9 +3,10 @@ rollouts on a >= 19k-vertex mesh (the reference's own hyperparameters,
 /root/reference/exp3/simulation/hyperparameters.py:4 train_times=20000,
 frames=30; training loop object.py:1464-1481).
 
-Device-resident: data-gen is a lax.scan rollout and the whole 20k-step Adam
-loop is ONE lax.scan dispatch (models/train_solver.py), so the run costs
-two compiles + two device programs instead of 20k tunnel round-trips.
+Device-resident: data-gen is a lax.scan rollout and the 20k-step Adam loop
+runs as chunked lax.scan dispatches (models/train_solver.py) — a handful of
+device programs instead of 20k tunnel round-trips, with every dispatch kept
+under the TPU worker's long-dispatch kill.
 Artifacts land in results/: net weights, loss curve, and the reference's
 own quality metric — the residual inf-norm of the net prediction used AS
 the implicit-step solution (object.py:1486-1495), vs the per-frame solver
@@ -69,9 +70,10 @@ def main():
     # test_render): step the dynamic sim a few frames with the real solver,
     # then compare the net's one-shot prediction for the next frame.
     st = dynamic.init_state(scene)
+    step = jax.jit(lambda s: dynamic.step_to_tol(
+        scene, scene.params, s, tol=1e-4, max_newton=10))
     for _ in range(3):
-        st, k, fn = jax.jit(lambda s: dynamic.step_to_tol(
-            scene, scene.params, s, tol=1e-4, max_newton=10))(st)
+        st, k, fn = step(st)
     solver_resid = float(np.asarray(fn))
     from fem_simulation_tpu.config import DynamicsConfig
     dyn = DynamicsConfig()
