@@ -84,6 +84,15 @@ class TrainInterpConfig:
                                      # cublas.py:172-197, applied to the
                                      # interp weights; needed at 20k+ verts
                                      # where plain SGD barely moves the loss)
+    unroll: int = 1                  # cycles unrolled inside the loss.
+                                     # 1 = reference parity (single taped
+                                     # cycle, object.py:1250-1264). >1 sums
+                                     # the residual after each of K chained
+                                     # cycles — optimizing the ITERATED map
+                                     # compare() measures, which at 20k+
+                                     # verts makes the trained cycle
+                                     # contractive where the single-cycle
+                                     # objective only shifts one application
 
 
 @dataclasses.dataclass(frozen=True)

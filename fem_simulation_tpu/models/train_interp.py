@@ -48,12 +48,12 @@ def row_norm_penalty(params_t, w, n_rows: int, mode: str):
     return jnp.sum((s - 1.0) ** 2)
 
 
-def two_level_cycle_residual(scene: Scene, params, w, x, mode: str):
-    """Differentiable 2-level cycle; returns the post-cycle fine residual.
+def two_level_cycle(scene: Scene, params, w, x, mode: str):
+    """Differentiable 2-level cycle; returns the post-cycle positions.
 
     Mirrors the taped cycle at exp2/P/quasi_simulation/object.py:1250-1264:
     restrict residual -> coarse re-discretized Hessian at restricted positions
-    -> 1 Jacobi -> prolongate -> apply -> fresh fine residual.
+    -> 1 Jacobi -> prolongate -> apply.
     """
     t = params["transfers"][0]
     nf = scene.level(0).n_verts
@@ -76,8 +76,13 @@ def two_level_cycle_residual(scene: Scene, params, w, x, mode: str):
     bc = tops.restrict(t["r_idx"], r_res, f)
     op1 = scene.make_op(1, params)
     dxc = smoothers.jacobi(op1, valsc, bc, iterations=1)
-    x_new = x + tops.prolong(t["p_idx"], p_res, dxc)
-    return qs.total_force(scene, params, x_new)
+    return x + tops.prolong(t["p_idx"], p_res, dxc)
+
+
+def two_level_cycle_residual(scene: Scene, params, w, x, mode: str):
+    """Post-cycle fine residual (the reference's taped loss input)."""
+    return qs.total_force(scene, params,
+                          two_level_cycle(scene, params, w, x, mode))
 
 
 def make_loss(scene: Scene, cfg: TrainInterpConfig):
@@ -85,14 +90,21 @@ def make_loss(scene: Scene, cfg: TrainInterpConfig):
               else scene.level(1).n_verts)
 
     def loss(w, params, x):
-        r = two_level_cycle_residual(scene, params, w, x, cfg.mode)
         t = params["transfers"][0]
-        if cfg.loss == "l2":
-            # denser gradients than the reference's inf-norm (whose
-            # subgradient touches one entry per step — very slow SGD)
-            data = jnp.sum(r * r)
-        else:
-            data = ell.inf_norm(r)
+        data = 0.0
+        # cfg.unroll chained cycles, residual summed after each: unroll=1 is
+        # the reference's single taped cycle; >1 trains the ITERATED map
+        # that compare() measures (at 20k+ verts a transfer tuned for one
+        # application need not be contractive under iteration)
+        for _ in range(cfg.unroll):
+            x = two_level_cycle(scene, params, w, x, cfg.mode)
+            r = qs.total_force(scene, params, x)
+            if cfg.loss == "l2":
+                # denser gradients than the reference's inf-norm (whose
+                # subgradient touches one entry per step — very slow SGD)
+                data = data + jnp.sum(r * r)
+            else:
+                data = data + ell.inf_norm(r)
         return data + cfg.row_norm_weight * row_norm_penalty(t, w, n_rows,
                                                              cfg.mode)
 
@@ -231,20 +243,5 @@ class InterpTrainer:
         return x + dx
 
     def _apply_cycle(self, w, x):
-        t = self.scene.params["transfers"][0]
-        nf = self.scene.level(0).n_verts
-        nc = self.scene.level(1).n_verts
-        p_w, r_w = tables_from_weights(t, w, nf, nc, t["r_idx"].shape[1])
-        mode = self.cfg.mode
-        p_res = p_w if mode == "P" else t["p_w"]
-        r_res = r_w if mode == "P" else t["r_w"]
-        r_pos = r_w if mode == "p_hat" else t["r_w_norm"]
-        params = self.scene.params
-        f = qs.total_force(self.scene, params, x)
-        xc = tops.restrict(t["r_idx"], r_pos, x)
-        valsc = qs.assemble_coarse_rediscretized(self.scene, params, 1, xc,
-                                                 with_fix_diag=True)
-        bc = tops.restrict(t["r_idx"], r_res, f)
-        op1 = self.scene.make_op(1, params)
-        dxc = smoothers.jacobi(op1, valsc, bc, iterations=1)
-        return x + tops.prolong(t["p_idx"], p_res, dxc)
+        return two_level_cycle(self.scene, self.scene.params, w, x,
+                               self.cfg.mode)

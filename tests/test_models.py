@@ -77,6 +77,25 @@ def test_interp_trained_beats_classic(scene, mode):
     assert out["trained"][-1] < out["classic"][-1]
 
 
+def test_interp_unrolled_training_contractive():
+    """unroll>1 trains the ITERATED cycle map (beyond the reference, whose
+    tape sees one cycle): on an 8x8x24 beam the classic bare cycle diverges
+    (inf-norm 22.5 by iteration 8) and single-cycle-trained weights only
+    slow the divergence, while 150 Adam steps at unroll=4 keep all 8
+    iterations under 0.2 (calibrated 0.16)."""
+    from fem_simulation_tpu.models.train_interp import InterpTrainer
+    m = meshlib.beam(8, 8, 24, dx=0.1)
+    sc = Scene(m, solver=SolverConfig(n_levels=2))
+    tr = InterpTrainer(sc, TrainInterpConfig(mode="p_hat", lr=1e-3,
+                                             loss="l2", optimizer="adam",
+                                             unroll=4))
+    tr.train(150, seed=0)
+    out = tr.compare(iterations=8)
+    assert out["classic"][-1] > 10.0          # bare classic cycle diverges
+    assert np.max(out["trained"]) < 1.0       # trained cycle is contractive
+    assert out["trained"][-1] < out["classic"][-1]
+
+
 # ---------------------------------------------------------------- exp3
 
 def test_graphconv_matches_manual():
