@@ -68,10 +68,9 @@ def main():
                                                 lr=args.lr,
                                                 unroll=args.unroll))
     t0 = time.time()
-    # keep each dispatch under the TPU worker's ~5-min single-dispatch kill:
-    # measured ~0.4 s/step at 21k verts for unroll=1, scaling with unroll
-    hist = tr.train(args.iterations,
-                    dispatch_chunk=max(500 // args.unroll, 50))
+    # the trainer's default dispatch_chunk scales with unroll to stay under
+    # the TPU worker's ~5-min single-dispatch kill (~0.15 s/cycle at 21k)
+    hist = tr.train(args.iterations)
     # force readback through the axon tunnel before timing
     t1 = time.time()
     print(f"train: {args.iterations} steps in {t1 - t0:.1f}s "

@@ -20,12 +20,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="P", choices=["P", "p_hat"])
     ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="cycles unrolled in the loss (1 = the reference's "
+                         "single taped cycle; >1 trains the iterated map — "
+                         "see examples/exp2_scale_run.py)")
     ap.add_argument("--out", default="/tmp/exp2")
     args = ap.parse_args()
 
     m = meshlib.beam(6, 6, 12, dx=0.05)
     scene = Scene(m, solver=SolverConfig(n_levels=2))
-    tr = InterpTrainer(scene, TrainInterpConfig(mode=args.mode))
+    tr = InterpTrainer(scene, TrainInterpConfig(mode=args.mode,
+                                                unroll=args.unroll))
     hist = tr.train(args.iterations)
     print(f"loss: {hist[0]:.4e} -> {hist[-1]:.4e}")
     tr.save(f"{args.out}_weights.npz")

@@ -126,7 +126,7 @@ class InterpTrainer:
         self._loss = jax.jit(make_loss(scene, cfg))
 
     def train(self, iterations: int | None = None, seed: int = 0,
-              dispatch_chunk: int = 500):
+              dispatch_chunk: int | None = None):
         """Clamped-SGD/Adam training, device-resident: the perturbation
         schedule (random +- of a pinned vertex, reference object.py:1240-1244)
         is pre-generated on the host and the loop runs as lax.scan dispatches
@@ -138,6 +138,10 @@ class InterpTrainer:
         `dispatch_chunk` steps, <0.1% overhead. Returns the loss history
         (loss at the pre-update weights, one entry per step)."""
         iterations = iterations or self.cfg.iterations
+        if dispatch_chunk is None:
+            # each step costs ~unroll cycle evaluations; keep the default
+            # chunk's worst case under the worker's ~5-min dispatch kill
+            dispatch_chunk = max(500 // self.cfg.unroll, 50)
         rng = np.random.default_rng(seed)
         p0 = self.scene.params["levels"][0]
         pin_ids = np.nonzero(np.asarray(p0["pin_mask"]) > 0)[0]

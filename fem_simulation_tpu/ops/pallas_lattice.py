@@ -349,10 +349,21 @@ def _round_up(n, m):
 
 def _chunk_ranges(n_cells_x: int, y: int, z: int, budget: int | None = None):
     """[(c0, c1)] cell-plane ranges; single range when the padded per-field
-    volume fits the budget."""
+    volume fits the budget.
+
+    y/z are CELL counts, but the resident fields are VERTEX-shaped
+    (y+1, z+1) and Mosaic tiles the trailing dims to (8, 128) — a beam with
+    z = 512 cells holds 513 vertex lanes padded to 640 (+25%), y = 16 cells
+    holds 17 sublanes padded to 24 (+50%). Budgeting on the raw cell dims
+    under-counted exactly when a +1 crossed a tile multiple: the 131k-vert
+    (16,16,512) beam computed 139k "padded" (under the 160k budget) while
+    the true resident field is 261k, and the hvp kernel blew the 100 MiB
+    scoped-VMEM stack at compile time (103.46M). Measured fix: padding the
+    VERTEX dims chunks that shape in 2 and keeps the 66k flagship
+    (17x24x384 = 157k) single-chunk."""
     if budget is None:
         budget = _chunk_padded_vol()
-    padded = (n_cells_x + 1) * _round_up(y, 8) * _round_up(z, 128)
+    padded = (n_cells_x + 1) * _round_up(y + 1, 8) * _round_up(z + 1, 128)
     if padded <= budget:
         return [(0, n_cells_x)]
     n_chunks = -(-padded // budget)
