@@ -1,0 +1,38 @@
+#!/bin/bash
+# Reproduce the README benchmark tables on the real TPU (single chip).
+#
+# Each bench.py invocation is one config; results print as one JSON line
+# per run (see bench.py --help for the knobs). Compiles persist in
+# /tmp/jax_cache, so a run killed mid-compile resumes on the next attempt —
+# fresh OBJ-shaped programs take ~15+ min each through the remote-compile
+# tunnel, which is why the OBJ dynamic rows use --amortized (one program)
+# and the per-run timeout is generous.
+#
+# Usage: bash scripts/perf_sweep.sh [out.log]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/perf_sweep.log}"
+ASSETS=/root/reference/assets/objs
+run() {
+  echo "=== $* ===" | tee -a "$OUT"
+  timeout 2400 python bench.py "$@" 2>&1 | grep -v "WARNING\|experimental" | tee -a "$OUT"
+}
+
+# dynamic headline + scaling (slope timing: steady-state device throughput)
+run
+run --beam 16,16,64
+run --beam 16,16,256
+run --beam 16,16,512 --max-newton 40
+# quasi-static: the multigrid-vs-single-level regime
+run --quasistatic --solver lattice --beam 16,16,64
+run --quasistatic --solver latmg --beam 16,16,256 --mg-levels 2 --mg-coarse-cg 8
+run --beam 16,16,512 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
+run --beam 16,16,512 --quasistatic --solver lattice
+# reference assets (voxelized OBJs)
+if [ -d "$ASSETS" ]; then
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
+  run --mesh "$ASSETS/horse.obj" --dx 0.02 --amortized
+  run --mesh "$ASSETS/rocker.obj" --dx 0.02 --amortized
+fi
+echo SWEEPDONE | tee -a "$OUT"
