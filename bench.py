@@ -85,6 +85,13 @@ def main():
                          "cantilevers where single-shot Newton wanders the "
                          "indefinite StVK region); 'auto' = adaptive "
                          "step-doubling/halving continuation")
+    ap.add_argument("--box-threshold", type=float, default=0.5,
+                    help="engage the box-cover lattice path when its padded "
+                         "compute volume is below this fraction of the dense "
+                         "grid's (ops/boxes.py; 0 disables). A/B knob: the "
+                         "voxelized kitten covers at 0.57 — just above the "
+                         "default — so --box-threshold 0.6 trades tighter "
+                         "boxes against per-box kernel overhead there")
     ap.add_argument("--solver", default="lattice",
                     choices=["lattice", "latmg", "matfree", "cg", "mg", "fas"],
                     help="stepping path: structured-lattice matrix-free CG "
@@ -122,7 +129,8 @@ def main():
     if solver in ("lattice", "latmg"):
         from fem_simulation_tpu.sim.lattice import LatticeScene
         from fem_simulation_tpu.sim import lattice as latmod
-        lscene = LatticeScene(m, pins=pins)
+        lscene = LatticeScene(m, pins=pins,
+                              box_threshold=args.box_threshold)
         if lscene.fill < 0.05 and lscene.boxes is None:
             # The fused Pallas lattice kernels beat the unstructured path by
             # ~2 orders of magnitude per site (428 vs ~3 ms/step on the
@@ -152,7 +160,7 @@ def main():
                         st2, k, fn = latmod.step_to_tol(
                             lscene, st, tol=args.tol, max_newton=args.max_newton,
                             use_pallas=False if args.no_pallas else None)
-                    return st2, fn
+                    return st2, (k, fn)
                 return jax.lax.scan(body, st, None, length=n)
             return run
         params = None
@@ -173,7 +181,7 @@ def main():
                         use_multigrid=(solver == "mg"),
                         matrix_free=(solver == "matfree"),
                         use_fas=(solver == "fas"))
-                    return st2, fn
+                    return st2, (k, fn)
                 return jax.lax.scan(body, st, None, length=n)
             return run
 
@@ -185,23 +193,27 @@ def main():
     # whose single compile is already ~15 min through the tunnel).
     def timed(run):
         out = run(params, st0)
-        _ = np.asarray(out[1])
+        _ = np.asarray(out[1][1])
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            st, fns = run(params, st0)
+            st, (ks, fns) = run(params, st0)
             fns = np.asarray(fns)          # axon tunnel: readback is the sync
             ts.append(time.perf_counter() - t0)
-        return min(ts), fns
+        return min(ts), np.asarray(ks), fns
 
     result = {}
-    t_big, fns = timed(make_run(args.frames))
+    t_big, ks, fns = timed(make_run(args.frames))
+    # per-frame Newton counts diagnose conditioning (e.g. a floppy OBJ needs
+    # more Newton/frame than a stiff beam at the same vertex count)
+    result["newton_max"] = int(ks.max())
+    result["newton_mean"] = round(float(ks.mean()), 2)
     ms_amort = t_big / args.frames * 1000.0
     result["amortized_ms"] = round(ms_amort, 3)
     ms = ms_amort
     if not args.amortized:
         n_small = max(args.frames // 5, 2)
-        t_small, _ = timed(make_run(n_small))
+        t_small, _, _ = timed(make_run(n_small))
         ms = (t_big - t_small) / (args.frames - n_small) * 1000.0
         result["slope_ms"] = round(ms, 3)
     assert fns.max() <= args.tol * 1.01, f"tolerance missed: {fns.max():.3e}"
@@ -246,7 +258,7 @@ def bench_quasistatic(args, m, pins=None):
     solver = args.solver
     if solver not in ("lattice", "latmg"):
         raise SystemExit("--quasistatic supports --solver lattice|latmg")
-    lscene = LatticeScene(m, pins=pins)
+    lscene = LatticeScene(m, pins=pins, box_threshold=args.box_threshold)
     if solver == "latmg":
         lmg = LatticeMG(lscene, n_levels=args.mg_levels, dt=None,
                         coarse_cg=args.mg_coarse_cg,
