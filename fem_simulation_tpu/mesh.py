@@ -64,33 +64,58 @@ class HexMesh:
 def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Minimal OBJ reader: returns (verts (V,3) float64, tris (T,3) int64).
 
-    Polygons with >3 vertices are fan-triangulated.
-    """
-    verts, tris = [], []
-    with open(path, "r") as f:
-        for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            elif line.startswith("f "):
-                idx = []
-                for tok in line.split()[1:]:
-                    s = tok.split("/")[0]
-                    i = int(s)
-                    idx.append(i - 1 if i > 0 else len(verts) + i)
-                for t in range(1, len(idx) - 1):
-                    tris.append([idx[0], idx[t], idx[t + 1]])
-    return np.asarray(verts, dtype=np.float64), np.asarray(tris, dtype=np.int64)
+    Polygons with >3 vertices are fan-triangulated. Parsing is vectorized
+    (batch str->array conversions, faces grouped by polygon arity) — the
+    naive per-line/per-token loop cost 6.8 s on the reference's 97k-face
+    horse.obj, ~25x the voxelization itself."""
+    v_rows, f_rows = [], []
+    with open(path, "r") as fh:
+        for line in fh:
+            head = line[:2]
+            if head == "v ":
+                v_rows.append(line[2:])
+            elif head == "f ":
+                f_rows.append(line[2:].split())
+    vtok = " ".join(v_rows).split()
+    if len(vtok) == 3 * len(v_rows):
+        verts = np.asarray(vtok, dtype=np.float64).reshape(-1, 3)
+    else:  # rare 'v x y z w' rows: per-row fallback
+        verts = np.asarray([r.split()[:3] for r in v_rows], dtype=np.float64)
+    if not f_rows:
+        return verts, np.zeros((0, 3), dtype=np.int64)
+    counts = np.fromiter((len(r) for r in f_rows), np.int64, len(f_rows))
+    flat = [tok.split("/", 1)[0] if "/" in tok else tok
+            for row in f_rows for tok in row]
+    ints = np.asarray(flat, dtype=np.int64)
+    ints = np.where(ints > 0, ints - 1, len(verts) + ints)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    tris = []
+    for n in np.unique(counts):  # fan-triangulate, grouped by arity
+        sel = np.nonzero(counts == n)[0]
+        mat = ints[offs[sel, None] + np.arange(n)[None, :]]
+        for t in range(1, int(n) - 1):
+            tris.append(np.stack([mat[:, 0], mat[:, t], mat[:, t + 1]], 1))
+    return verts, np.concatenate(tris).astype(np.int64)
 
 
 def _points_inside(points: np.ndarray, verts: np.ndarray, tris: np.ndarray,
-                   chunk: int = 4096) -> np.ndarray:
+                   chunk: int = 4096, use_native: bool = True) -> np.ndarray:
     """Ray-parity inside test for many points against a triangle mesh.
 
     Casts a ray along +x from each point and counts crossings (watertight-ish;
     equivalent in spirit to pyvista's enclosed-point selection used by
-    pv.voxelize, reference object.py:30). Vectorized over (points x tris) in chunks.
+    pv.voxelize, reference object.py:30). The hot path is the native C++
+    builder (native/topology.cpp points_inside_parity — the reference's
+    analog is VTK's native vtkSelectEnclosedPoints behind pv.voxelize);
+    identical ray/epsilon semantics keep it bit-equal to the numpy fallback
+    below (tests/test_native.py asserts this), which is vectorized over
+    (points x tris) in chunks.
     """
+    if use_native and points.shape[0] > 0 and tris.shape[0] > 0:
+        from . import native
+        res = native.points_inside(points, verts, tris)
+        if res is not None:
+            return res
     v0 = verts[tris[:, 0]]
     v1 = verts[tris[:, 1]]
     v2 = verts[tris[:, 2]]

@@ -49,6 +49,11 @@ def load():
     lib.hex_slot_map.restype = ctypes.c_int64
     lib.hex_slot_map.argtypes = [i32p, ctypes.c_int64, i32p, i32p,
                                  ctypes.c_int64, i32p]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.points_inside_parity.restype = ctypes.c_int64
+    lib.points_inside_parity.argtypes = [f64p, ctypes.c_int64, f64p,
+                                         i32p, ctypes.c_int64, u8p]
     _lib = lib
     return lib
 
@@ -93,6 +98,24 @@ def hex_pairs_unique(hexes):
     if n < 0:
         raise RuntimeError(f"hex_pairs_unique failed: {n}")
     return out[:n].copy()
+
+
+def points_inside(points, verts, tris):
+    """Native ray-parity inside test (the voxelizer core; same semantics as
+    mesh._points_inside's numpy path — tests assert bit-equality). Returns
+    a (P,) bool array, or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float64)
+    verts = np.ascontiguousarray(verts, np.float64)
+    tris = np.ascontiguousarray(tris.reshape(-1), np.int32)
+    out = np.empty(points.shape[0], np.uint8)
+    n = lib.points_inside_parity(points, points.shape[0], verts,
+                                 tris, tris.size // 3, out)
+    if n != points.shape[0]:
+        raise RuntimeError(f"points_inside_parity failed: {n}")
+    return out.astype(bool)
 
 
 def hex_slot_map(hexes, nbr, deg):

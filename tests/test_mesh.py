@@ -51,3 +51,40 @@ def test_obj_roundtrip(tmp_path):
     v, t = meshlib.load_obj(str(p))
     assert v.shape == (4, 3)
     assert t.shape == (3, 3)  # one tri + one fan-triangulated quad (2)
+
+
+def test_obj_slash_forms_and_negative_indices(tmp_path):
+    # v/vt/vn token forms and negative (relative) indices parse like the
+    # plain form; the vectorized parser must strip past the first '/'
+    p = tmp_path / "forms.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vt 0 0\nvn 0 0 1\n"
+        "f 1/1/1 2/1/1 3/1/1\n"
+        "f -3//1 -1// -2\n"          # negatives: verts 2, 4, 3
+    )
+    v, t = meshlib.load_obj(str(p))
+    assert v.shape == (4, 3)
+    np.testing.assert_array_equal(t[0], [0, 1, 2])
+    np.testing.assert_array_equal(t[1], [1, 3, 2])
+
+
+def test_points_inside_native_equals_numpy():
+    # blobby multi-component voxel shape -> surface tris -> inside test on a
+    # finer probe grid: the native C++ parity test (native/topology.cpp
+    # points_inside_parity) must agree bit-for-bit with the numpy fallback
+    rng = np.random.default_rng(0)
+    cells = np.unique(rng.integers(0, 6, size=(60, 3)), axis=0)
+    m = meshlib.hex_mesh_from_cells(cells, 0.2, np.zeros(3))
+    tris = meshlib.surface_triangles(m.hexes).astype(np.int64)
+    verts = m.x.astype(np.float64)
+    lo, hi = verts.min(0) - 0.1, verts.max(0) + 0.1
+    g = np.stack(np.meshgrid(*[np.linspace(lo[d], hi[d], 23)
+                               for d in range(3)], indexing="ij"),
+                 -1).reshape(-1, 3)
+    a = meshlib._points_inside(g, verts, tris)
+    b = meshlib._points_inside(g, verts, tris, use_native=False)
+    from fem_simulation_tpu import native
+    if native.available():
+        np.testing.assert_array_equal(a, b)
+    assert 0 < b.sum() < len(g)
