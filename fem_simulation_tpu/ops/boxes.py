@@ -65,14 +65,19 @@ def _perm_cost(vext, quantum=TILE):
 
 
 def best_perm(cell_ext, quantum=TILE):
-    """Axis order minimizing the padded vertex volume of a box."""
+    """Axis order minimizing the padded vertex volume of a box.
+
+    Cost ties break toward the longest extent on lanes, then on sublanes
+    (identity-first in itertools order can otherwise park the long axis on
+    sublanes at equal padded volume — lanes are where the VPU vectorizes)."""
     vext = tuple(int(e) + 1 for e in cell_ext)
-    best, best_cost = (0, 1, 2), None
+    best, best_key = (0, 1, 2), None
     for p in itertools.permutations((0, 1, 2)):
         c = _perm_cost((vext[p[0]], vext[p[1]], vext[p[2]]), quantum)
-        if best_cost is None or c < best_cost:
-            best, best_cost = p, c
-    return best, best_cost
+        key = (c, -vext[p[2]], -vext[p[1]])
+        if best_key is None or key < best_key:
+            best, best_key = p, key
+    return best, best_key[0]
 
 
 def _tight(cm, c0, c1):

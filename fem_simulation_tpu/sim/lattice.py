@@ -117,6 +117,23 @@ class LatticeScene:
         self.boxes = bxs if (use_boxes and len(bxs) > 1
                              and self.box_cost_ratio < box_threshold) \
             else None
+        if self.boxes is None and use_boxes:
+            # Global axis permutation as a degenerate one-box cover: when the
+            # grid's natural orientation wastes tile padding (the voxelized
+            # kitten is (34,51,30) — z=30 pads to 128 lanes, 4.7x the true
+            # volume; permuted to (30,34,51) the padded volume drops 1.6x),
+            # run every elastic op through a single full-grid box with the
+            # cost-optimal permutation. Unlike the multi-box cover there is
+            # no partition-sum or halo overhead — just one transpose pair
+            # per op — so any padded-cost win engages it. Exactness is the
+            # same F -> FP invariance argument as per-box permutation
+            # (ops/boxes.py module docstring).
+            cell_ext = tuple(s - 1 for s in self.shape)
+            perm, pcost = boxlib.best_perm(cell_ext, q)
+            if perm != (0, 1, 2) and pcost < 0.95 * full_cost:
+                self.boxes = [boxlib.Box(c0=(0, 0, 0), c1=cell_ext,
+                                         perm=perm)]
+                self.box_cost_ratio = pcost / max(full_cost, 1)
 
     # -- elastic ops (dense grid or box cover) ------------------------------
     def _pallas_ok(self, pallas, cm):

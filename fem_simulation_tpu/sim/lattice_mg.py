@@ -216,25 +216,44 @@ class LatticeMG:
         + halo-exchange wrapper around the same fused Pallas kernels, so
         the distributed MG no longer forfeits the Pallas hot loop
         (VERDICT r2 weak #3 / next #4)."""
+        from ..ops import boxes as boxlib
         mat = self.scene.material
-        # Pallas per level only when the lane (z) extent is substantial:
-        # kernels on short-z coarse grids (e.g. the voxelized kitten's
-        # 15-plane level 1) faulted the TPU worker outright, and the XLA
-        # stencil is plenty for a grid 8x smaller than the fine level.
-        pallas_l = self.use_pallas and lvl.cell_mask.shape[2] >= 16
+        # Grid-axis permutation before the kernel, exactly like the lattice
+        # path's one-box cover (F -> FP invariance, ops/boxes.py): puts the
+        # longest extent on the 128-lane dim. This both cuts tile padding
+        # on OBJ-shaped grids (kitten fine level: 1.75x) and ENABLES Pallas
+        # on levels whose natural z is short — the lane gate below sees the
+        # permuted extent (the kitten's 15-plane level 1 was XLA-forced).
+        cell_ext = tuple(int(s) for s in lvl.cell_mask.shape)
+        perm, pcost = boxlib.best_perm(cell_ext)
+        if pcost >= 0.95 * boxlib._perm_cost(tuple(e + 1 for e in cell_ext)):
+            perm = (0, 1, 2)
+        inv = boxlib._inv(perm)
+        # Pallas per level only when the (permuted) lane extent is
+        # substantial: kernels on short-z coarse grids faulted the TPU
+        # worker outright, and the XLA stencil is plenty for a grid 8x
+        # smaller than the fine level.
+        pallas_l = self.use_pallas and cell_ext[perm[2]] >= 16
         if pallas_l:
-            # fused analytic HVP kernel (~11x the XLA einsum chain on v5e)
-            x_cf = jnp.transpose(x_l, (3, 0, 1, 2))
+            cm_p = jnp.transpose(lvl.cell_mask, perm)
+            tr = perm + (3,)
+            # fused analytic HVP kernel (~11x the XLA einsum chain on v5e);
+            # channels-first with the permuted grid axes
+            x_cf = jnp.transpose(jnp.transpose(x_l, tr), (3, 0, 1, 2))
 
-            def matvec(p, x_cf=x_cf, lvl=lvl):
+            def matvec(p, x_cf=x_cf, cm_p=cm_p, lvl=lvl, tr=tr, inv=inv):
+                p_cf = jnp.transpose(jnp.transpose(p, tr), (3, 0, 1, 2))
                 hp = jnp.transpose(plat.hvp_cf(
-                    x_cf, jnp.transpose(p, (3, 0, 1, 2)), lvl.cell_mask,
-                    lvl.dx, mat.lame_mu, mat.lame_la), (1, 2, 3, 0))
+                    x_cf, p_cf, cm_p, lvl.dx,
+                    mat.lame_mu, mat.lame_la), (1, 2, 3, 0))
+                hp = jnp.transpose(hp, inv + (3,))
                 return (hp + lvl.ctrl[..., None] * p) \
                     * lvl.vert_mask[..., None]
 
-            diag = plat.hess_diag_lattice(x_l, lvl.cell_mask, lvl.dx,
-                                          mat.lame_mu, mat.lame_la)
+            diag = plat.hess_diag_lattice(
+                jnp.transpose(x_l, tr), cm_p, lvl.dx,
+                mat.lame_mu, mat.lame_la)
+            diag = jnp.transpose(diag, inv + (3, 4))
         else:
             def force(xx, lvl=lvl):
                 f = stencil.elastic_force_lattice(

@@ -137,3 +137,42 @@ def test_multi_component_cover():
     # no box spans the empty gap
     for b in boxes:
         assert b.c1[2] <= 3 or b.c0[2] >= 40
+
+
+def test_global_permutation_single_box():
+    """A solid grid whose natural orientation wastes tile padding engages
+    the degenerate one-box cover with the cost-optimal axis permutation
+    (the voxelized-kitten case: short z pads to 128 lanes) and reproduces
+    the dense ops exactly."""
+    # solid 12x4x4 beam with x (the long axis) NOT on lanes; quantum (1,4,8)
+    # makes the padding asymmetry visible at test size
+    m = meshlib.beam(12, 4, 4, dx=0.05)
+    sc = LatticeScene(m, box_quantum=(1, 4, 8))
+    dense = LatticeScene(m, use_boxes=False)
+    assert sc.boxes is not None and len(sc.boxes) == 1
+    b = sc.boxes[0]
+    assert b.c0 == (0, 0, 0) and b.c1 == (12, 4, 4)
+    assert b.perm[2] == 0                     # long axis moved to lanes
+    assert sc.box_cost_ratio < 0.95
+    rng = np.random.default_rng(1)
+    x = sc.x0 + 0.01 * jnp.asarray(
+        rng.normal(size=sc.x0.shape).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=sc.x0.shape).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sc.elastic_force(x, False)),
+                               np.asarray(dense.elastic_force(x, False)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sc.elastic_diag(x, False)),
+                               np.asarray(dense.elastic_diag(x, False)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sc.elastic_hvp_fn(x, False)(p)),
+                               np.asarray(dense.elastic_hvp_fn(x, False)(p)),
+                               atol=1e-3)
+    np.testing.assert_allclose(float(sc.elastic_energy(x, False)),
+                               float(dense.elastic_energy(x, False)),
+                               rtol=1e-5)
+
+
+def test_global_permutation_not_engaged_when_natural_is_best():
+    # long axis already on lanes: no permutation, dense path untouched
+    sc = LatticeScene(meshlib.beam(4, 4, 12, dx=0.05), box_quantum=(1, 4, 8))
+    assert sc.boxes is None

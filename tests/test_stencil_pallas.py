@@ -68,3 +68,34 @@ def test_pallas_lanes_interpret_matches(system):
     got = pk.spmv(vals, nbr, mask, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mg_level_permuted_pallas_matches_xla():
+    """LatticeMG._level_matvec_diag permutes grid axes before the fused
+    Pallas kernels (longest extent -> lanes). The permuted interpret-mode
+    kernels must match the XLA linearize path, INCLUDING on a grid whose
+    natural z is below the lane gate (Pallas enabled only via permutation)."""
+    import jax
+    from fem_simulation_tpu.sim.lattice import LatticeScene
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG
+
+    m = meshlib.beam(18, 4, 4, dx=0.05)      # natural z=4 < lane gate 16
+    sc = LatticeScene(m, use_boxes=False)
+    rng = np.random.default_rng(3)
+    x = sc.x0 + 0.01 * jnp.asarray(
+        rng.normal(size=sc.x0.shape).astype(np.float32))
+
+    mg_p = LatticeMG(sc, n_levels=1, dt=None, use_pallas=True)   # interpret
+    mg_x = LatticeMG(sc, n_levels=1, dt=None, use_pallas=False)
+    lvl = mg_p.levels[0]
+    pad = [(0, lvl.vert_mask.shape[d] - x.shape[d]) for d in range(3)]
+    xp = jnp.pad(x, pad + [(0, 0)])
+
+    mv_p, diag_p = mg_p._level_matvec_diag(0, lvl, xp)
+    mv_x, diag_x = mg_x._level_matvec_diag(0, lvl, xp)
+    np.testing.assert_allclose(np.asarray(diag_p), np.asarray(diag_x),
+                               atol=1e-4)
+    p = jnp.asarray(rng.normal(size=xp.shape).astype(np.float32)) \
+        * lvl.vert_mask[..., None]
+    np.testing.assert_allclose(np.asarray(mv_p(p)), np.asarray(mv_x(p)),
+                               atol=1e-3)
