@@ -39,6 +39,11 @@ def main():
                          "thick) — the low-bbox-fill stress shape for the "
                          "box-cover lattice path (ops/boxes.py); overrides "
                          "--beam/--mesh")
+    ap.add_argument("--cloth", default=None,
+                    help="RX[,RY] mass-spring cloth grid (reference "
+                         "exp1/cloth_simulation, 64x64): ms per implicit "
+                         "frame solved to tolerance; overrides every mesh "
+                         "option")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--max-newton", type=int, default=20,
@@ -107,6 +112,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    if args.cloth is not None:
+        return bench_cloth(args)
 
     from fem_simulation_tpu import mesh as meshlib
     from fem_simulation_tpu.config import SolverConfig
@@ -185,12 +193,17 @@ def main():
                 return jax.lax.scan(body, st, None, length=n)
             return run
 
-    # Slope timing (default): per-frame cost between two scan lengths —
-    # cancels the fixed ~33 ms tunnel dispatch AND the expensive early
-    # from-rest frames exactly, at the price of compiling a second (short)
-    # program. --amortized compiles only the long program and reports
-    # total/frames (the conservative pre-r3 headline; use it for configs
-    # whose single compile is already ~15 min through the tunnel).
+    return _time_and_print(args, make_run, params, st0)
+
+
+def _time_and_print(args, make_run, params, st0, metric_suffix=""):
+    """Shared dynamic-bench tail: slope timing (default) — per-frame cost
+    between two scan lengths, cancelling the fixed ~33 ms tunnel dispatch
+    AND the expensive early from-rest frames exactly, at the price of
+    compiling a second (short) program. --amortized compiles only the long
+    program and reports total/frames (the conservative pre-r3 headline; use
+    it for configs whose single compile is already ~15 min through the
+    tunnel)."""
     def timed(run):
         out = run(params, st0)
         _ = np.asarray(out[1][1])
@@ -218,13 +231,41 @@ def main():
         result["slope_ms"] = round(ms, 3)
     assert fns.max() <= args.tol * 1.01, f"tolerance missed: {fns.max():.3e}"
     print(json.dumps({
-        "metric": "ms_per_timestep_to_f_inf_1e-4",
+        "metric": "ms_per_timestep_to_f_inf_1e-4" + metric_suffix,
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(100.0 / ms, 3),
         **result,
     }))
     return 0
+
+
+def bench_cloth(args):
+    """ms per implicit-Euler cloth frame to ||f||_inf <= tol (mass-spring,
+    reference exp1/cloth_simulation: 64x64 grid, k=1000, dt=0.0033 — the
+    reference runs a fixed 5-CG-iteration frame; this solves each frame to
+    the benchmark tolerance via sim.cloth.step_to_tol)."""
+    import jax
+    from fem_simulation_tpu.config import ClothConfig
+    from fem_simulation_tpu.sim import cloth as clothmod
+
+    r = [int(s) for s in args.cloth.split(",")]
+    cfg = ClothConfig(res_x=r[0], res_y=r[-1])
+    scene = clothmod.ClothScene(cfg)
+    st0 = clothmod.init_state(scene)
+
+    def make_run(n):
+        @jax.jit
+        def run(p, st):
+            def body(st, _):
+                st2, k, fn = clothmod.step_to_tol(
+                    scene, p, st, tol=args.tol, max_newton=args.max_newton)
+                return st2, (k, fn)
+            return jax.lax.scan(body, st, None, length=n)
+        return run
+
+    return _time_and_print(args, make_run, scene.params, st0,
+                           metric_suffix="_cloth")
 
 
 def _make_pins(args, m):

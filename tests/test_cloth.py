@@ -91,3 +91,20 @@ def test_cloth_drag_and_picker():
     assert np.isfinite(np.asarray(st.x)).all()
     pk.clear()
     assert float(sim.state.drag_mask.sum()) == 0
+
+
+def test_cloth_step_to_tol():
+    """Every frame solved to the benchmark tolerance (bench --cloth path):
+    the residual must actually satisfy tol and Newton re-assembly must keep
+    the state finite over multiple frames."""
+    import jax
+    from fem_simulation_tpu.sim import cloth as clothmod
+    cfg = ClothConfig(res_x=8, res_y=8)
+    scene = clothmod.ClothScene(cfg, pins=[0, 8])
+    st = clothmod.init_state(scene)
+    step = jax.jit(lambda p, s: clothmod.step_to_tol(scene, p, s, tol=1e-4))
+    for _ in range(5):
+        st, k, fn = step(scene.params, st)
+    assert float(fn) <= 1e-4 * 1.01
+    assert int(k) >= 1
+    assert np.isfinite(np.asarray(st.x)).all()
