@@ -28,11 +28,15 @@ run --quasistatic --solver lattice --beam 16,16,64
 run --quasistatic --solver latmg --beam 16,16,256 --mg-levels 2 --mg-coarse-cg 8
 run --beam 16,16,512 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
 run --beam 16,16,512 --quasistatic --solver lattice
-# reference assets (voxelized OBJs)
+# reference assets (voxelized OBJs; the lattice auto-permutes the grid so
+# the longest axis lands on the 128-lane dim — see ops/boxes.py)
 if [ -d "$ASSETS" ]; then
   run --mesh "$ASSETS/kitten.obj" --dx 0.02
   run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver lattice
   run --mesh "$ASSETS/horse.obj" --dx 0.02 --amortized
   run --mesh "$ASSETS/rocker.obj" --dx 0.02 --amortized
 fi
+# mass-spring cloth (reference exp1/cloth_simulation 64x64 grid)
+run --cloth 64
 echo SWEEPDONE | tee -a "$OUT"
