@@ -68,7 +68,7 @@ def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
     (batch str->array conversions, faces grouped by polygon arity) — the
     naive per-line/per-token loop cost 6.8 s on the reference's 97k-face
     horse.obj, ~25x the voxelization itself."""
-    v_rows, f_rows = [], []
+    v_rows, f_rows, f_nv = [], [], []
     with open(path, "r") as fh:
         for line in fh:
             head = line[:2]
@@ -76,6 +76,8 @@ def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
                 v_rows.append(line[2:])
             elif head == "f ":
                 f_rows.append(line[2:].split())
+                f_nv.append(len(v_rows))   # negatives are relative to the
+                #                            vertices defined SO FAR
     vtok = " ".join(v_rows).split()
     if len(vtok) == 3 * len(v_rows):
         verts = np.asarray(vtok, dtype=np.float64).reshape(-1, 3)
@@ -87,7 +89,8 @@ def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
     flat = [tok.split("/", 1)[0] if "/" in tok else tok
             for row in f_rows for tok in row]
     ints = np.asarray(flat, dtype=np.int64)
-    ints = np.where(ints > 0, ints - 1, len(verts) + ints)
+    nv_tok = np.repeat(np.asarray(f_nv, dtype=np.int64), counts)
+    ints = np.where(ints > 0, ints - 1, nv_tok + ints)
     offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
     tris = []
     for n in np.unique(counts):  # fan-triangulate, grouped by arity

@@ -317,12 +317,6 @@ _VMEM_MIB = {"v5 lite": 128, "v5litepod": 128, "v5e": 128,
 
 def _budgets():
     import os
-    env = os.environ.get("FEM_TPU_CHUNK_VOL")
-    env_d = os.environ.get("FEM_TPU_CHUNK_VOL_DIAG")
-    if env or env_d:
-        base = int(env) if env else _CHUNK_PADDED_VOL_V5E
-        base_d = int(env_d) if env_d else _CHUNK_PADDED_VOL_DIAG_V5E
-        return base, base_d
     scale = 1.0
     try:
         if jax.default_backend() == "tpu":
@@ -331,8 +325,13 @@ def _budgets():
             scale = mib / 128.0
     except Exception:
         pass
-    return (int(_CHUNK_PADDED_VOL_V5E * scale),
-            int(_CHUNK_PADDED_VOL_DIAG_V5E * scale))
+    # env overrides apply PER BUDGET: setting only one must not reset the
+    # other to the unscaled v5e constant (on a 16 MiB device that would
+    # re-trigger the spill cliff the VMEM scaling exists to prevent)
+    env = os.environ.get("FEM_TPU_CHUNK_VOL")
+    env_d = os.environ.get("FEM_TPU_CHUNK_VOL_DIAG")
+    return (int(env) if env else int(_CHUNK_PADDED_VOL_V5E * scale),
+            int(env_d) if env_d else int(_CHUNK_PADDED_VOL_DIAG_V5E * scale))
 
 
 def _chunk_padded_vol():

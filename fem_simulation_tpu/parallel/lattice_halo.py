@@ -363,10 +363,10 @@ def make_dist_step(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
         fn0 = inf_norm(resid(xb, x_tilde))
-        xb, k, fn, _ = jax.lax.while_loop(
+        xb, k, fn, fmin = jax.lax.while_loop(
             cgmod.newton_cond(tol, max_newton), body,
             (xb, jnp.int32(0), fn0, fn0))
         vb = (xb - x_old) * inv_dt
-        return xb, vb, k, cgmod.newton_exit_norm(fn)
+        return xb, vb, k, cgmod.newton_exit_norm(fn, fmin)
 
     return step, blockify

@@ -103,7 +103,14 @@ class DistLatticeMG(LatticeMG):
                        and z_planes % n_sp == 0)
             self.level_specs.append(
                 P(None, None, axis) if sharded else P())
-            if sharded and self.pallas_halo:
+            # Lane gate: the shard_map body's local lane extent is
+            # z_planes/n_sp + 2 ghost planes; short-lane Pallas kernels
+            # faulted the TPU worker (CLAUDE.md) and the single-chip paths
+            # gate at 16 lanes (sim/lattice.py _pallas_ok) — sharded levels
+            # must not reintroduce ungated short-lane launches. Gated
+            # levels keep the GSPMD XLA stencil path.
+            if (sharded and self.pallas_halo
+                    and z_planes // n_sp + 2 >= 16):
                 self._level_cell_slabs[li] = _cell_slabs(lvl.cell_mask, n_sp)
 
     def constrain(self, li, a):

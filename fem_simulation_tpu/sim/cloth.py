@@ -204,17 +204,25 @@ def step_to_tol(scene: ClothScene, params, st: ClothState,
             scene.n_verts, scene.K)
         vals = ell.add_to_diag(vals, params["diag_slot"], diag_ctrl)
         f = resid(xx)
-        dx = cgmod.cg(op, vals, f, iterations=cg_iterations, tol=1e-2)
+        # block-Jacobi PCG (like every other path): the spring Hessian's
+        # stiff modes stall plain CG just above tol — unpreconditioned 30-
+        # iteration CG plateaued a 17x17 cloth at fn ~ 1.3e-4 for 20 Newton
+        full_vals = vals * op.mask[..., None, None]
+        matvec = lambda v: ell.spmv(full_vals, op.nbr, op.mask, v)
+        diag = vals[jnp.arange(scene.n_verts), params["diag_slot"]]
+        minv = lambda r: ell.solve3x3(diag, r)
+        dx = cgmod.pcg_operator(matvec, minv, f,
+                                iterations=cg_iterations, tol=1e-2)
         xx = xx + dx
         fn = ell.inf_norm(resid(xx))
         return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
     fn0 = ell.inf_norm(resid(x))
-    x, k, fn, _ = jax.lax.while_loop(
+    x, k, fn, fmin = jax.lax.while_loop(
         cgmod.newton_cond(tol, max_newton), body,
         (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn)
+    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
 
 
 class ClothSim:

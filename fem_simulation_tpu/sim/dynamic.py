@@ -214,11 +214,11 @@ def step_to_tol(scene: Scene, params, st: DynState,
         return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
     fn0 = ell.inf_norm(resid(x))
-    x, k, fn, _ = jax.lax.while_loop(
+    x, k, fn, fmin = jax.lax.while_loop(
         cgmod.newton_cond(tol, max_newton), body,
         (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn)
+    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
 
 
 class DynamicSim:

@@ -294,11 +294,11 @@ def step_to_tol(scene: LatticeScene, st: LatState,
         return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
     fn0 = ell.inf_norm(resid(x))
-    x, k, fn, _ = jax.lax.while_loop(
+    x, k, fn, fmin = jax.lax.while_loop(
         cgmod.newton_cond(tol, max_newton), body,
         (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn)
+    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
 
 
 class LatticeDynamicSim:
@@ -501,10 +501,10 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
         fn0 = ell.inf_norm(resid(x0, gs))
-        xo, k, fn, _ = jax.lax.while_loop(
+        xo, k, fn, fmin = jax.lax.while_loop(
             cgmod.newton_cond(tol, max_newton), body,
             (x0, jnp.int32(0), fn0, fn0))
-        return xo, k, cgmod.newton_exit_norm(fn)
+        return xo, k, cgmod.newton_exit_norm(fn, fmin)
 
     return _run_load_schedule(solve_at, x, tol, max_newton, load_steps,
                               return_trace=return_trace)

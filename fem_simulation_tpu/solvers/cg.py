@@ -44,10 +44,30 @@ def newton_cond(tol, max_newton, blowup: float = NEWTON_BLOWUP):
     return cond
 
 
-def newton_exit_norm(fn):
+def newton_exit_norm(fn, fmin=None, blowup: float = NEWTON_BLOWUP):
     """Map a non-finite final residual to +inf so callers' `fn <= tol`
-    convergence checks cannot mistake a NaN exit for success."""
-    return jnp.where(jnp.isfinite(fn), fn, jnp.inf)
+    convergence checks cannot mistake a NaN exit for success.
+
+    When `fmin` (the running-minimum carry from newton_cond bodies) is
+    given, a blowup-guard exit (fn > blowup * fmin) ALSO maps to +inf:
+    divergence must not present as a large-but-finite residual — retry
+    logic (adaptive_continuation's warm-start triage) would otherwise
+    commit the diverged state and grind on it."""
+    bad = ~jnp.isfinite(fn)
+    if fmin is not None:
+        bad = bad | (fn > blowup * fmin)
+    return jnp.where(bad, jnp.inf, fn)
+
+
+def _normalize_rhs(b):
+    """Scale the RHS to unit norm so the solvers' absolute small-denominator
+    guards (pap >= eps, ||r||^2 > EPSILON) are scale-free; returns
+    (b_normalized, scale_back, inv_scale) with scale_back = 0 for an all-zero
+    RHS (the solution is exactly zero and the solve must be a no-op)."""
+    rr_b = ell.vdot(b, b)
+    ok_b = rr_b > 0.0
+    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
+    return b / inv_scale, jnp.where(ok_b, inv_scale, 0.0), inv_scale
 
 
 def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
@@ -58,10 +78,7 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     Runs on a normalized RHS (see pcg_operator) so the absolute small-
     denominator guards are scale-free."""
-    rr_b = ell.vdot(b, b)
-    ok_b = rr_b > 0.0
-    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
-    b = b / inv_scale
+    b, scale_back, inv_scale = _normalize_rhs(b)
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
@@ -91,7 +108,7 @@ def cg_operator(matvec, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     carry = (x, r, r, rs0, jnp.int32(1), jnp.bool_(True))
     x, r, p, rs, k, alive = jax.lax.while_loop(cond, body, carry)
-    return x * jnp.where(ok_b, inv_scale, 0.0)
+    return x * scale_back
 
 
 def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
@@ -112,10 +129,7 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
     otherwise shut the solver off entirely (the r3 kitten-divergence bug:
     coarse_cg=8 and =64 returned bit-identical garbage because the inner CG
     never ran)."""
-    rr_b = ell.vdot(b, b)
-    ok_b = rr_b > 0.0
-    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
-    b = b / inv_scale
+    b, scale_back, _ = _normalize_rhs(b)
     x = jnp.zeros_like(b)
     r = b
     z = minv(r)
@@ -149,7 +163,7 @@ def pcg_operator(matvec, minv, b, iterations: int = 50, tol: float = 1e-5,
 
     carry = (x, r, p, z, rz, jnp.int32(1), jnp.bool_(True))
     out = jax.lax.while_loop(cond, body, carry)
-    x = out[0] * jnp.where(ok_b, inv_scale, 0.0)
+    x = out[0] * scale_back
     if return_iters:
         return x, out[5]
     return x
@@ -164,10 +178,7 @@ def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
     def matvec(v):
         return ell.spmv(full_vals, op.nbr, op.mask, v)
 
-    rr_b = ell.vdot(b, b)
-    ok_b = rr_b > 0.0
-    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
-    b = b / inv_scale
+    b, scale_back, inv_scale = _normalize_rhs(b)
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
@@ -198,4 +209,4 @@ def cg(op, values, b, iterations: int = 10, tol: float = 1e-5, x0=None):
 
     carry = (x, r, r, rs0, jnp.int32(1), jnp.bool_(True))
     x, r, p, rs, k, alive = jax.lax.while_loop(cond, body, carry)
-    return x * jnp.where(ok_b, inv_scale, 0.0)
+    return x * scale_back

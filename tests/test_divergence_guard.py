@@ -39,6 +39,19 @@ def test_newton_exit_norm_flags_nonfinite():
     assert float(cgmod.newton_exit_norm(jnp.float32(0.5))) == 0.5
 
 
+def test_newton_exit_norm_flags_blowup_exit():
+    """With fmin given, a blowup-guard exit must report +inf: retry logic
+    (adaptive_continuation warm-start) and fn<=tol checks must never see a
+    diverged solve as a large-but-recoverable finite residual."""
+    fn = jnp.float32(2e6)
+    fmin = jnp.float32(1.0)
+    assert np.isinf(float(cgmod.newton_exit_norm(fn, fmin)))
+    # healthy exits pass through untouched (incl. line-search transients)
+    assert float(cgmod.newton_exit_norm(jnp.float32(999.0), fmin)) == 999.0
+    assert float(cgmod.newton_exit_norm(jnp.float32(1e-5), fmin)) \
+        == np.float32(1e-5)
+
+
 def test_nan_start_exits_immediately_not_as_converged():
     m = meshlib.beam(3, 3, 8, dx=0.05)
     sc = LatticeScene(m)

@@ -69,6 +69,22 @@ def test_obj_slash_forms_and_negative_indices(tmp_path):
     np.testing.assert_array_equal(t[1], [1, 3, 2])
 
 
+def test_obj_negative_indices_interleaved(tmp_path):
+    # per the OBJ spec, negative indices are relative to the vertices
+    # defined SO FAR — faces interleaved between vertex blocks must not
+    # resolve against the final count
+    p = tmp_path / "inter.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "f -3 -2 -1\n"
+        "v 2 0 0\nv 2 1 0\nv 2 2 0\n"
+        "f -3 -2 -1\n"
+    )
+    v, t = meshlib.load_obj(str(p))
+    assert v.shape == (6, 3)
+    np.testing.assert_array_equal(t, [[0, 1, 2], [3, 4, 5]])
+
+
 def test_points_inside_native_equals_numpy():
     # blobby multi-component voxel shape -> surface tris -> inside test on a
     # finer probe grid: the native C++ parity test (native/topology.cpp
