@@ -119,6 +119,10 @@ def main():
         pass
 
     if args.cloth is not None:
+        if args.quasistatic or args.solver != "lattice" or args.pins != "top":
+            raise SystemExit("--cloth is a dynamic mass-spring benchmark; "
+                             "it supports none of --quasistatic/--solver/"
+                             "--pins")
         if args.tol is None:
             args.tol = 2.5e-4   # f32 noise floor of the k=1000 spring force
         return bench_cloth(args)
@@ -205,8 +209,8 @@ def main():
     return _time_and_print(args, make_run, params, st0)
 
 
-def _time_and_print(args, make_run, params, st0, metric_suffix="",
-                    extra=None):
+def _time_and_print(args, make_run, params, st0,
+                    metric_name="ms_per_timestep_to_f_inf_1e-4", extra=None):
     """Shared dynamic-bench tail: slope timing (default) — per-frame cost
     between two scan lengths, cancelling the fixed ~33 ms tunnel dispatch
     AND the expensive early from-rest frames exactly, at the price of
@@ -246,7 +250,7 @@ def _time_and_print(args, make_run, params, st0, metric_suffix="",
             ms = ms_amort
     assert fns.max() <= args.tol * 1.01, f"tolerance missed: {fns.max():.3e}"
     print(json.dumps({
-        "metric": "ms_per_timestep_to_f_inf_1e-4" + metric_suffix,
+        "metric": metric_name,
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(100.0 / ms, 3),
@@ -283,8 +287,9 @@ def bench_cloth(args):
             return jax.lax.scan(body, st, None, length=n)
         return run
 
-    return _time_and_print(args, make_run, scene.params, st0,
-                           metric_suffix="_cloth", extra={"tol": args.tol})
+    return _time_and_print(
+        args, make_run, scene.params, st0,
+        metric_name=f"ms_per_timestep_to_f_inf_{args.tol:g}_cloth")
 
 
 def _make_pins(args, m):

@@ -446,12 +446,12 @@ def make_dist_newton_step(scene, part: SlabPartition, mesh: Mesh,
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
         fn0 = inf_norm(resid(xo, x_tilde))
-        xo, k, fn, _ = jax.lax.while_loop(
+        xo, k, fn, fmin = jax.lax.while_loop(
             cgmod.newton_cond(tol, max_newton), body,
             (xo, jnp.int32(0), fn0, fn0))
         vo = (xo - x_old) * inv_dt
         return (xo[None], vo[None], k[None],
-                cgmod.newton_exit_norm(fn)[None])
+                cgmod.newton_exit_norm(fn, fmin)[None])
 
     spec_x = P(axis, None, None)
     spec_t = {k: P(axis, *(None,) * (np.asarray(v).ndim - 1))

@@ -103,14 +103,15 @@ class DistLatticeMG(LatticeMG):
                        and z_planes % n_sp == 0)
             self.level_specs.append(
                 P(None, None, axis) if sharded else P())
-            # Lane gate: the shard_map body's local lane extent is
-            # z_planes/n_sp + 2 ghost planes; short-lane Pallas kernels
-            # faulted the TPU worker (CLAUDE.md) and the single-chip paths
-            # gate at 16 lanes (sim/lattice.py _pallas_ok) — sharded levels
+            # Lane gate: the shard_map body's local CELL lane extent is
+            # z_planes/n_sp + 1 (slab cells + the ghost-plane cell row);
+            # short-lane Pallas kernels faulted the TPU worker (CLAUDE.md)
+            # and the single-chip paths gate on a 16-CELL lane extent
+            # (sim/lattice.py _pallas_ok, lattice_mg.py) — sharded levels
             # must not reintroduce ungated short-lane launches. Gated
             # levels keep the GSPMD XLA stencil path.
             if (sharded and self.pallas_halo
-                    and z_planes // n_sp + 2 >= 16):
+                    and z_planes // n_sp + 1 >= 16):
                 self._level_cell_slabs[li] = _cell_slabs(lvl.cell_mask, n_sp)
 
     def constrain(self, li, a):

@@ -135,6 +135,29 @@ def init_state(scene: ClothScene) -> ClothState:
                       drag_pos=x0)
 
 
+def _frame_diag(scene: ClothScene, params, st: ClothState, inv_dt):
+    """m/h^2 + pin/drag control, as 3x3 diagonal blocks (the single source
+    for both the fixed-iteration and to-tolerance frame solvers)."""
+    cfg = scene.cfg
+    return ((params["mass"] * inv_dt * inv_dt
+             + cfg.control_mag * jnp.maximum(params["pin_mask"],
+                                             st.drag_mask))[:, None, None]
+            * jnp.eye(3, dtype=st.x.dtype))
+
+
+def _frame_force(scene: ClothScene, params, st: ClothState, xx, x_tilde,
+                 inv_dt, gravity):
+    """Implicit-step residual: spring + gravity + pin/drag penalty + inertia
+    (reference cloth render assembly, object.py:657-677)."""
+    cfg = scene.cfg
+    f = spring.force(xx, params["edges"], params["l0"], cfg.k, scene.n_verts)
+    f = f.at[:, 1].add(params["mass"] * gravity)
+    f = f + cfg.control_mag * params["pin_mask"][:, None] \
+        * (params["pin_pos"] - xx)
+    f = f + cfg.control_mag * st.drag_mask[:, None] * (st.drag_pos - xx)
+    return f - (params["mass"] * inv_dt * inv_dt)[:, None] * (xx - x_tilde)
+
+
 def step(scene: ClothScene, params, st: ClothState,
          gravity: float = -9.8 / 2.0) -> ClothState:
     """One cloth frame (reference cloth render, object.py:657-677)."""
@@ -148,17 +171,9 @@ def step(scene: ClothScene, params, st: ClothState,
     vals = spring.assemble_hessian_ell(
         x, params["edges"], params["l0"], cfg.k, params["edge_slot"],
         scene.n_verts, scene.K)
-    diag = ((params["mass"] * inv_dt * inv_dt
-             + cfg.control_mag * jnp.maximum(params["pin_mask"],
-                                             st.drag_mask))[:, None, None]
-            * jnp.eye(3, dtype=x.dtype))
-    vals = ell.add_to_diag(vals, params["diag_slot"], diag)
-
-    f = spring.force(x, params["edges"], params["l0"], cfg.k, scene.n_verts)
-    f = f.at[:, 1].add(params["mass"] * gravity)
-    f = f + cfg.control_mag * params["pin_mask"][:, None] * (params["pin_pos"] - x)
-    f = f + cfg.control_mag * st.drag_mask[:, None] * (st.drag_pos - x)
-    f = f + -(params["mass"] * inv_dt * inv_dt)[:, None] * (x - x_tilde)
+    vals = ell.add_to_diag(vals, params["diag_slot"],
+                           _frame_diag(scene, params, st, inv_dt))
+    f = _frame_force(scene, params, st, x, x_tilde, inv_dt, gravity)
 
     op = scene.make_op()
     dx = cgmod.cg(op, vals, f, iterations=5, tol=1e-5)
@@ -183,19 +198,10 @@ def step_to_tol(scene: ClothScene, params, st: ClothState,
     x = st.x + v * cfg.dt
     x_tilde = x
     op = scene.make_op()
-    diag_ctrl = ((params["mass"] * inv_dt * inv_dt
-                  + cfg.control_mag * jnp.maximum(params["pin_mask"],
-                                                  st.drag_mask))[:, None, None]
-                 * jnp.eye(3, dtype=x.dtype))
+    diag_ctrl = _frame_diag(scene, params, st, inv_dt)
 
     def resid(xx):
-        f = spring.force(xx, params["edges"], params["l0"], cfg.k,
-                         scene.n_verts)
-        f = f.at[:, 1].add(params["mass"] * gravity)
-        f = f + cfg.control_mag * params["pin_mask"][:, None] \
-            * (params["pin_pos"] - xx)
-        f = f + cfg.control_mag * st.drag_mask[:, None] * (st.drag_pos - xx)
-        return f - (params["mass"] * inv_dt * inv_dt)[:, None] * (xx - x_tilde)
+        return _frame_force(scene, params, st, xx, x_tilde, inv_dt, gravity)
 
     def body(c):
         xx, k, _, fmin = c
