@@ -88,6 +88,15 @@ def main():
                     help="skip SPD projection of the latmg smoother blocks "
                          "(A/B knob; projection is needed for indefinite "
                          "large-deformation Hessians)")
+    ap.add_argument("--fmg", action="store_true",
+                    help="full-multigrid (nested iteration) start for "
+                         "--quasistatic: solve the coarsest level first, "
+                         "prolong displacements as each finer level's "
+                         "initial guess (sim.lattice_mg.quasistatic_fmg). "
+                         "Composes with --solver: lattice = single-level "
+                         "fine corrector (deep bends), latmg = GMG-PCG fine "
+                         "corrector; --load-steps applies at the coarsest "
+                         "level only")
     ap.add_argument("--load-steps", default=1,
                     type=lambda s: s if s == "auto" else int(s),
                     help="gravity-continuation increments for --quasistatic "
@@ -317,14 +326,14 @@ def bench_quasistatic(args, m, pins=None):
     import jax.numpy as jnp
     from fem_simulation_tpu.sim.lattice import (LatticeScene,
                                                 quasistatic_to_tol)
-    from fem_simulation_tpu.sim.lattice_mg import (LatticeMG,
+    from fem_simulation_tpu.sim.lattice_mg import (LatticeMG, quasistatic_fmg,
                                                    quasistatic_to_tol_mg)
 
     solver = args.solver
     if solver not in ("lattice", "latmg"):
         raise SystemExit("--quasistatic supports --solver lattice|latmg")
     lscene = LatticeScene(m, pins=pins, box_threshold=args.box_threshold)
-    if solver == "latmg":
+    if solver == "latmg" or args.fmg:
         lmg = LatticeMG(lscene, n_levels=args.mg_levels, dt=None,
                         coarse_cg=args.mg_coarse_cg,
                         spd_smoother=not args.mg_no_spd,
@@ -338,7 +347,13 @@ def bench_quasistatic(args, m, pins=None):
     def run(x0):
         def body(carry, s):
             x = x0 + s * lscene.vert_mask[..., None]
-            if solver == "latmg":
+            if args.fmg:
+                x, k, fn = quasistatic_fmg(
+                    lscene, lmg, tol=args.tol, max_newton=100,
+                    coarse_max_newton=100, load_steps=args.load_steps,
+                    fine_solver=("jacobi" if solver == "lattice" else "mg"),
+                    perturb=s)
+            elif solver == "latmg":
                 x, k, fn = quasistatic_to_tol_mg(lscene, lmg, x, tol=args.tol,
                                                  max_newton=100,
                                                  load_steps=args.load_steps)
@@ -364,7 +379,8 @@ def bench_quasistatic(args, m, pins=None):
     ms = best / n_rep * 1000.0
     converged = bool(fns.max() <= args.tol * 1.01)
     print(json.dumps({
-        "metric": f"ms_quasistatic_to_f_inf_{args.tol:g}_{args.solver}",
+        "metric": (f"ms_quasistatic_to_f_inf_{args.tol:g}_{args.solver}"
+                   + ("_fmg" if args.fmg else "")),
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(100.0 / ms, 3),

@@ -79,7 +79,8 @@ class DistLatticeMG(LatticeMG):
     """
 
     def __init__(self, scene: LatticeScene, mesh: Mesh, axis: str = "sp",
-                 min_planes_per_dev: int = 4, use_pallas=None, **kw):
+                 min_planes_per_dev: int = 4, use_pallas=None,
+                 min_lane_cells: int = 16, **kw):
         self.mesh = mesh
         self.axis = axis
         self.pallas_halo = _use_pallas(use_pallas)
@@ -109,9 +110,12 @@ class DistLatticeMG(LatticeMG):
             # and the single-chip paths gate on a 16-CELL lane extent
             # (sim/lattice.py _pallas_ok, lattice_mg.py) — sharded levels
             # must not reintroduce ungated short-lane launches. Gated
-            # levels keep the GSPMD XLA stencil path.
+            # levels keep the GSPMD XLA stencil path. ``min_lane_cells``
+            # exists for CPU interpret-mode tests (the operator-parity test
+            # passes 1 to exercise the wrapper on a small beam) — leave the
+            # TPU default alone.
             if (sharded and self.pallas_halo
-                    and z_planes // n_sp + 1 >= 16):
+                    and z_planes // n_sp + 1 >= min_lane_cells):
                 self._level_cell_slabs[li] = _cell_slabs(lvl.cell_mask, n_sp)
 
     def constrain(self, li, a):

@@ -38,6 +38,16 @@ class MGLevel(NamedTuple):
     g_tab: jnp.ndarray       # (8, 8, 3)
     det: float
     dx: float
+    # (X, Y, Z) lumped vertex mass, CONSERVATIVELY RESTRICTED from the fine
+    # level (hat restriction preserves the total exactly), NOT re-lumped
+    # from the coarse cell mask: binary any-real coarsening inflates the
+    # jagged-boundary volume of irregular masks by tens of percent, and a
+    # coarse gravity load built from that inflated mass pulls the coarse
+    # equilibrium visibly past the fine one (measured: FMG on the dx=0.06
+    # kitten with re-lumped coarse mass produced an initial guess WORSE
+    # than rest — 50 fine Newton vs 6). Restricted mass is the Galerkin-
+    # consistent load b_c = R b_f. Used by the FMG level solves.
+    mass: jnp.ndarray
 
 
 class LatticeMG:
@@ -97,6 +107,7 @@ class LatticeMG:
             tgt0 = (pad_xy(vm.shape[0]), pad_xy(vm.shape[1]), tz0)
             vm_p = pad_to(vm, tgt0)
             ctrl_p = pad_to(ctrl0, tgt0)
+            mass_p = pad_to(scene.mass, tgt0)
             cshape = tuple(s - 1 for s in vm_p.shape[:3])
             cm_p = jnp.zeros(cshape, vm.dtype).at[
                 :scene.cell_mask.shape[0], :scene.cell_mask.shape[1],
@@ -108,7 +119,7 @@ class LatticeMG:
                 g_tab, det = stencil.lattice_material_tables(dx)
                 levels.append(MGLevel(cell_mask=cm_p, vert_mask=vm_p,
                                       ctrl=ctrl_p, g_tab=g_tab,
-                                      det=float(det), dx=dx))
+                                      det=float(det), dx=dx, mass=mass_p))
                 if li == n_levels - 1:
                     break
                 # coarsen. coarse_frac: the stencil force is LINEAR in
@@ -149,6 +160,10 @@ class LatticeMG:
                 ctrl_c = jnp.zeros(vshape_c, vm.dtype).at[
                     :rc.shape[0], :rc.shape[1], :rc.shape[2]].set(rc)
                 ctrl_c = ctrl_c * vm_c
+                rm = stencil.restrict_lat(mass_p[..., None])[..., 0]
+                mass_c = jnp.zeros(vshape_c, vm.dtype).at[
+                    :rm.shape[0], :rm.shape[1], :rm.shape[2]].set(rm)
+                mass_c = mass_c * vm_c
                 # next level: x/y padded to odd; z already exact in even-z
                 # mode (halving preserves divisibility), next-odd otherwise
                 tz = vm_c.shape[2] if z_multiple > 1 \
@@ -157,6 +172,7 @@ class LatticeMG:
                 tgt = (pad_xy(vm_c.shape[0]), pad_xy(vm_c.shape[1]), tz)
                 vm_p = pad_to(vm_c, tgt)
                 ctrl_p = pad_to(ctrl_c, tgt)
+                mass_p = pad_to(mass_c, tgt)
                 cm_p = jnp.zeros(tuple(s - 1 for s in vm_p.shape),
                                  vm.dtype).at[
                     :cm_c.shape[0], :cm_c.shape[1], :cm_c.shape[2]].set(cm_c)
@@ -449,6 +465,150 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
         (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
     return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
+
+
+def _solve_level_quasistatic(mg: LatticeMG, li: int, x0, tol, max_newton,
+                             cg_iterations, cg_tol, line_search, load_steps):
+    """Single-level guarded Newton-PCG quasi-static solve ON MG LEVEL li:
+    the re-discretized elastic operator at this level's dx/cell mask, its
+    restricted pin penalty (lvl.ctrl anchored at the level rest grid), and
+    its own lumped gravity load. Block-Jacobi preconditioning only — coarse
+    grids are small enough that a V-cycle would cost more than it saves."""
+    from .lattice import armijo_step, _run_load_schedule
+    mat = mg.scene.material
+    lvl = mg.levels[li]
+    vm3 = lvl.vert_mask[..., None]
+    x0_l = mg.x0_levels[li]
+    m = lvl.mass
+    eye = jnp.eye(3, dtype=x0.dtype)
+
+    def resid(xx, gs):
+        f = stencil.elastic_force_lattice(xx, lvl.cell_mask, lvl.g_tab,
+                                          lvl.det, mat.lame_mu, mat.lame_la)
+        f = f.at[..., 1].add(m * mat.gravity * gs)
+        f = f + lvl.ctrl[..., None] * (x0_l - xx)
+        return f * vm3
+
+    def energy(xx, gs):
+        e = stencil.elastic_energy_lattice(xx, lvl.cell_mask, lvl.g_tab,
+                                           lvl.det, mat.lame_mu, mat.lame_la)
+        e = e - jnp.sum(m * mat.gravity * gs * xx[..., 1])
+        d = (xx - x0_l) * vm3
+        return e + 0.5 * jnp.sum(lvl.ctrl[..., None] * d * d)
+
+    def solve_at(xc, gs):
+        def body(c):
+            xx, k, _, fmin = c
+            f = resid(xx, gs)
+            matvec, diag = mg._level_matvec_diag(li, lvl, xx)
+            diag = diag + (lvl.ctrl
+                           + (1.0 - lvl.vert_mask))[..., None, None] * eye
+            if mg.spd_smoother:
+                diag = ell.spd_project(diag, eps=1e-6, rel_floor=1e-3)
+            minv = lambda r: ell.solve3x3(diag, r) * vm3
+            dx = cgmod.pcg_operator(matvec, minv, f,
+                                    iterations=cg_iterations, tol=cg_tol)
+            if line_search:
+                xx = armijo_step(lambda xe: energy(xe, gs), xx, f, dx, vm3)
+            else:
+                xx = xx + dx * vm3
+            fn = ell.inf_norm(resid(xx, gs))
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
+
+        fn0 = ell.inf_norm(resid(xc, gs))
+        xo, k, fn, fmin = jax.lax.while_loop(
+            cgmod.newton_cond(tol, max_newton), body,
+            (xc, jnp.int32(0), fn0, fn0))
+        return xo, k, cgmod.newton_exit_norm(fn, fmin)
+
+    return _run_load_schedule(solve_at, x0, tol, max_newton, load_steps)
+
+
+def quasistatic_fmg(scene: LatticeScene, mg: LatticeMG, tol: float = 1e-4,
+                    max_newton: int = 50, cg_iterations: int = 30,
+                    cg_tol: float = 1e-2, line_search: bool = True,
+                    load_steps: int | str = 1, coarse_max_newton: int = 50,
+                    coarse_cg_iterations: int = 60, fine_solver: str = "mg",
+                    perturb=None, return_stats: bool = False):
+    """Full-multigrid (nested iteration) quasi-static solve.
+
+    quasistatic_to_tol_mg starts fine-level Newton from rest and uses the
+    hierarchy only INSIDE the linear preconditioner; here the hierarchy
+    also carries the NONLINEAR solve: solve the quasi-static equilibrium on
+    the coarsest level first (a few hundred vertices — its whole Newton
+    solve costs less than one fine matvec), prolong the converged
+    DISPLACEMENT as the next level's initial guess, and repeat down to the
+    fine level, which then starts inside the basin of its own equilibrium
+    and needs only the last Newton corrections. Classic FMG/cascadic MG —
+    beyond the reference, whose NewtonMultigrid always starts fine Newton
+    from the current state (object.py:1230-1296).
+
+    `load_steps` (int or "auto") applies ONLY at the coarsest level: load
+    continuation costs nothing there, and every finer level already tracks
+    from the prolonged equilibrium — the FMG-continuation synergy.
+
+    fine_solver selects the FINE-level corrector: "mg" (GMG-PCG, right for
+    top-pinned/diffusion-dominated problems) or "jacobi" (single-level
+    block-Jacobi PCG — right for deep bends, where the re-discretized
+    coarse operator at the restricted bent state turns the V-cycle into a
+    bad preconditioner even though the FMG initial guess itself is
+    excellent: measured on a 4x4x32 cantilever, fine latmg from the FMG
+    guess stalls at 100 Newton while single-level finishes in 10, vs 24
+    from rest with auto continuation).
+
+    Returns (x, k_total, fn) like quasistatic_to_tol_mg (k_total sums all
+    levels' Newton iterations; coarse iterations are ~8x cheaper each per
+    level but are counted honestly). return_stats=True appends a tuple of
+    per-level Newton counts (coarsest first, fine last) for diagnostics."""
+    ks = []
+    li = mg.n_levels - 1
+    x_l = mg.x0_levels[li]
+    if perturb is not None:
+        # tiny initial-guess offset (traced scalar ok): changes the
+        # iteration path, not the solution — bench.py's anti-CSE protocol
+        x_l = x_l + perturb * mg.levels[li].vert_mask[..., None]
+    ktot = jnp.int32(0)
+    for li in range(mg.n_levels - 1, 0, -1):
+        lvl = mg.levels[li]
+        x_in = x_l
+        x_l, k_l, fn_l = _solve_level_quasistatic(
+            mg, li, x_l, tol * (2.0 ** li), coarse_max_newton,
+            coarse_cg_iterations, cg_tol, line_search,
+            load_steps if li == mg.n_levels - 1 else 1)
+        # a diverged coarse stage (guard exit, fn = +inf) must not poison
+        # the finer levels — fall back to this level's input state, which
+        # is still a valid (just less converged) initial guess
+        x_l = jnp.where(jnp.isfinite(fn_l), x_l, x_in)
+        ks.append(k_l)
+        ktot = ktot + k_l
+        nxt = mg.levels[li - 1]
+        src = nxt.vert_mask.shape
+        u_c = (x_l - mg.x0_levels[li]) * lvl.vert_mask[..., None]
+        uf = stencil.prolong_lat(u_c[:(src[0] + 1) // 2,
+                                     :(src[1] + 1) // 2,
+                                     :(src[2] + 1) // 2], shape=src)
+        x_l = mg.x0_levels[li - 1] + uf * nxt.vert_mask[..., None]
+
+    shape = scene.vert_mask.shape
+    x_fine0 = x_l[:shape[0], :shape[1], :shape[2]]
+    if fine_solver == "jacobi":
+        from .lattice import quasistatic_to_tol
+        x, k, fn = quasistatic_to_tol(scene, x_fine0, tol=tol,
+                                      max_newton=max_newton,
+                                      cg_iterations=max(cg_iterations, 60),
+                                      cg_tol=cg_tol,
+                                      use_pallas=mg.use_pallas,
+                                      line_search=line_search)
+    else:
+        x, k, fn = quasistatic_to_tol_mg(scene, mg, x_fine0, tol=tol,
+                                         max_newton=max_newton,
+                                         cg_iterations=cg_iterations,
+                                         cg_tol=cg_tol,
+                                         line_search=line_search)
+    ks.append(k)
+    if return_stats:
+        return x, ktot + k, fn, tuple(ks)
+    return x, ktot + k, fn
 
 
 def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,

@@ -80,8 +80,11 @@ def test_dist_mg_pallas_halo_matches_xla():
     parity + the (XLA) distributed solve tests below."""
     scene = LatticeScene(meshlib.beam(3, 3, 24, dx=0.1))
     mg_x = DistLatticeMG(scene, _mesh8(), n_levels=2, dt=None)
+    # min_lane_cells=1: this beam's local lane extent (32/8+1 = 5 cells) is
+    # below the TPU-safe default gate of 16 — lower it to exercise the
+    # wrapper in CPU interpret mode, where short lanes are harmless
     mg_p = DistLatticeMG(scene, _mesh8(), n_levels=2, dt=None,
-                         use_pallas=True)
+                         use_pallas=True, min_lane_cells=1)
     assert 0 in mg_p._level_cell_slabs        # fine level takes the wrapper
     lvl = mg_x.levels[0]
     rng = np.random.default_rng(3)
