@@ -528,7 +528,8 @@ def quasistatic_fmg(scene: LatticeScene, mg: LatticeMG, tol: float = 1e-4,
                     max_newton: int = 50, cg_iterations: int = 30,
                     cg_tol: float = 1e-2, line_search: bool = True,
                     load_steps: int | str = 1, coarse_max_newton: int = 50,
-                    coarse_cg_iterations: int = 60, fine_solver: str = "mg",
+                    mid_max_newton: int = 15, coarse_cg_iterations: int = 60,
+                    fine_solver: str = "mg",
                     perturb=None, return_stats: bool = False):
     """Full-multigrid (nested iteration) quasi-static solve.
 
@@ -571,10 +572,20 @@ def quasistatic_fmg(scene: LatticeScene, mg: LatticeMG, tol: float = 1e-4,
     for li in range(mg.n_levels - 1, 0, -1):
         lvl = mg.levels[li]
         x_in = x_l
+        coarsest = li == mg.n_levels - 1
+        # Middle levels get a SMALL budget (mid_max_newton): their output is
+        # only the next level's initial guess, and past ~15 iterations the
+        # guess stops improving while a stalled level grinds its full budget
+        # (measured on the 37k deep-bend cantilever: perturbed repeats sat
+        # at level 1's 100-iteration budget for 1.7 s of a 2 s solve while
+        # the fine corrector needed 9-12 Newton whether the middle level got
+        # 15, 25, or 100 iterations). The coarsest level is cheap and
+        # carries the load continuation, so it keeps coarse_max_newton.
         x_l, k_l, fn_l = _solve_level_quasistatic(
-            mg, li, x_l, tol * (2.0 ** li), coarse_max_newton,
+            mg, li, x_l, tol * (2.0 ** li),
+            coarse_max_newton if coarsest else mid_max_newton,
             coarse_cg_iterations, cg_tol, line_search,
-            load_steps if li == mg.n_levels - 1 else 1)
+            load_steps if coarsest else 1)
         # a diverged coarse stage (guard exit, fn = +inf) must not poison
         # the finer levels — fall back to this level's input state, which
         # is still a valid (just less converged) initial guess
@@ -593,9 +604,19 @@ def quasistatic_fmg(scene: LatticeScene, mg: LatticeMG, tol: float = 1e-4,
     x_fine0 = x_l[:shape[0], :shape[1], :shape[2]]
     if fine_solver == "jacobi":
         from .lattice import quasistatic_to_tol
+        # Diameter-scaled PCG cap: block-Jacobi PCG needs O(diameter)
+        # iterations, and the cap is BOTH a floor and a ceiling here —
+        # on the 37k (17x17x145) cantilever a 60 cap leaves Newton steps so
+        # inexact the fine corrector takes 38 iterations (150 takes 9-13),
+        # while on a small 5x5x33 one the LONGER cap is what hurts: more
+        # exact steps on its indefinite Hessian wander into huge
+        # Armijo-rejected directions and the corrector creeps (measured
+        # stall at 100 Newton with a 150 cap; 10 Newton at 60). Truncation
+        # is regularization; scale it with the problem.
+        cap = max(cg_iterations, 60, max(scene.vert_mask.shape))
         x, k, fn = quasistatic_to_tol(scene, x_fine0, tol=tol,
                                       max_newton=max_newton,
-                                      cg_iterations=max(cg_iterations, 60),
+                                      cg_iterations=cap,
                                       cg_tol=cg_tol,
                                       use_pallas=mg.use_pallas,
                                       line_search=line_search)
