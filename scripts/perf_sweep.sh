@@ -28,6 +28,14 @@ run --quasistatic --solver lattice --beam 16,16,64
 run --quasistatic --solver latmg --beam 16,16,256 --mg-levels 2 --mg-coarse-cg 8
 run --beam 16,16,512 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
 run --beam 16,16,512 --quasistatic --solver lattice
+# deep-bend cantilever: FMG start + adaptive continuation at the coarsest
+run --beam 16,16,144 --pins zmin --quasistatic --load-steps auto --frames 40
+run --beam 16,16,144 --pins zmin --quasistatic --load-steps auto --frames 40 \
+    --fmg --mg-levels 3 --mg-coarse-cg 16
+# scale rows (279k / 1.1M verts, single chip)
+run --beam 32,32,256 --max-newton 40
+run --beam 32,32,256 --quasistatic --solver latmg --mg-levels 4 --mg-coarse-cg 16 --frames 40
+run --beam 32,32,1024 --max-newton 40 --frames 60
 # reference assets (voxelized OBJs; the lattice auto-permutes the grid so
 # the longest axis lands on the 128-lane dim — see ops/boxes.py)
 if [ -d "$ASSETS" ]; then
