@@ -21,12 +21,16 @@ op box-by-box:
 * each box is axis-PERMUTED before hitting the kernel so its longest extent
   lands on the TPU lane dimension (z is padded to 128 lanes, y to 8
   sublanes — a 50x50x2 plate would otherwise pad 64x in z). Grid-axis
-  relabeling is exact for cubic cells: the StVK energy sees F -> F P for a
-  permutation P, and E = (F'^T F' - I)/2 = P^T E P leaves both invariants
-  unchanged, so per-cell energies — and therefore the analytic force/HVP/
-  diagonal, which are derivatives of the same scalar — are bit-for-bit the
-  permuted originals. Displacement components are world-axis and are never
-  permuted.
+  relabeling is exact for cubic cells: WORLD (channel) axes are relabeled
+  together with the grid axes, so the kernel sees the similarity transform
+  F -> P^T F P (an orthogonal change of frame), E -> P^T E P, and the StVK
+  invariants tr(E), ||E||^2 are exactly preserved; output force/HVP
+  channels are relabeled back (diagonal blocks on both tensor indices).
+  The world axes MUST co-rotate: the kernels build F = I + sum u_i g_i^T
+  from displacements (ops/stencil.py precision note), and a grid-only
+  relabeling would turn the analytic identity into F = I + (Du)P which is
+  NOT a transform of F (the old position-form kernels saw F -> F P and
+  could leave channels alone).
 
 Everything is resolved at trace time: static python loop over boxes, static
 slices, static transposes. No gathers, no dynamic shapes.
@@ -194,22 +198,29 @@ def box_vertex_op(kernel, boxes, cell_mask, *vfields, out_trailing=(3,)):
         cs = tuple(slice(b.c0[d], b.c1[d]) for d in range(3))
         vs = tuple(slice(b.c0[d], b.c1[d] + 1) for d in range(3))
         tr = b.perm + (3,)
+        inv = _inv(b.perm)
         cm_sub = jnp.transpose(cell_mask[cs], b.perm)
-        subs = [jnp.transpose(f[vs], tr) for f in vfields]
+        # world axes co-rotate with the grid axes (see module docstring)
+        subs = [jnp.transpose(f[vs], tr)[..., list(b.perm)] for f in vfields]
         o = kernel(cm_sub, *subs)
-        o = jnp.transpose(o, _inv(b.perm) + tuple(3 + i for i in range(nt)))
+        for i, t in enumerate(out_trailing):
+            if t == 3:      # relabel world tensor indices back
+                o = jnp.take(o, jnp.asarray(inv), axis=3 + i)
+        o = jnp.transpose(o, inv + tuple(3 + i for i in range(nt)))
         out = out.at[vs].add(o)
     return out
 
 
 def box_scalar_op(kernel, boxes, cell_mask, *vfields):
-    """Same as box_vertex_op for scalar-output ops (energy): sums boxes."""
+    """Same as box_vertex_op for scalar-output ops (energy): sums boxes.
+    The energy is invariant under the orthogonal frame relabeling, so the
+    output needs no back-transform."""
     total = jnp.asarray(0.0, vfields[0].dtype)
     for b in boxes:
         cs = tuple(slice(b.c0[d], b.c1[d]) for d in range(3))
         vs = tuple(slice(b.c0[d], b.c1[d] + 1) for d in range(3))
         tr = b.perm + (3,)
         cm_sub = jnp.transpose(cell_mask[cs], b.perm)
-        subs = [jnp.transpose(f[vs], tr) for f in vfields]
+        subs = [jnp.transpose(f[vs], tr)[..., list(b.perm)] for f in vfields]
         total = total + kernel(cm_sub, *subs)
     return total

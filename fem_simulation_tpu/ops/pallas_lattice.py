@@ -10,7 +10,11 @@ ops on (Cx, Cy, Cz) cell fields. No gathers anywhere (only static shifted
 slices), so this lowers cleanly where gather-based SpMV kernels cannot
 (see ops/pallas_kernels.py).
 
-Layout: channel-first (3, X, Y, Z); Z is the minor (lane) axis.
+Layout: channel-first (3, X, Y, Z); Z is the minor (lane) axis. All
+kernels take DISPLACEMENT fields u = x - x0 (rest = the analytic lattice):
+F = I + sum_i u_i g_iq^T with the identity added analytically, which keeps
+the f32 force-evaluation noise independent of the coordinate magnitude
+(ops.stencil.elastic_force_lattice documents the measured 38x difference).
 
 The HVP kernel is the analytic directional derivative of the force — used
 directly by the lattice CG instead of jax.linearize, so no AD-through-Pallas
@@ -49,8 +53,13 @@ def _chain(x, cm, g, det, mu, la, p, emit):
                for r in range(3)] for (di, dj, dk) in _CORNERS]
 
     for q in range(8):
-        # F[r][c] = sum_i xs[i][r] * g[i, q, c]
+        # F[r][c] = delta_rc + sum_i us[i][r] * g[i, q, c]  (displacement
+        # form: inputs are u = x - x0, the identity is analytic — forming F
+        # from absolute positions cancels |x|*(2/dx)-sized terms and sets a
+        # coordinate-magnitude-dependent f32 noise floor; see
+        # ops.stencil.elastic_force_lattice)
         F = [[sum(xs[i][r] * float(g[i, q, c]) for i in range(8))
+              + (1.0 if r == c else 0.0)
               for c in range(3)] for r in range(3)]
         # E = (F^T F - I)/2 ; M = 2 mu E + la tr(E) I
         E = [[0.5 * (sum(F[r][a] * F[r][b] for r in range(3))
@@ -96,7 +105,9 @@ def _make_energy_kernel(g, det, mu, la):
                for r in range(3)] for (di, dj, dk) in _CORNERS]
         acc = None
         for q in range(8):
+            # displacement form (see _chain): F = I + sum_i u_i g_iq^T
             F = [[sum(xs[i][r] * float(g[i, q, c]) for i in range(8))
+                  + (1.0 if r == c else 0.0)
                   for c in range(3)] for r in range(3)]
             E = [[0.5 * (sum(F[r][a] * F[r][b] for r in range(3))
                          - (1.0 if a == b else 0.0))
@@ -163,7 +174,9 @@ def _make_diag_kernel(g, det, mu, la):
         xs = [[x[r, di:di + X - 1, dj:dj + Y - 1, dk:dk + Z - 1]
                for r in range(3)] for (di, dj, dk) in _CORNERS]
         for q in range(8):
+            # displacement form (see _chain): F = I + sum_i u_i g_iq^T
             F = [[sum(xs[i][r] * float(g[i, q, c]) for i in range(8))
+                  + (1.0 if r == c else 0.0)
                   for c in range(3)] for r in range(3)]
             E = [[0.5 * (sum(F[r][a] * F[r][b] for r in range(3))
                          - (1.0 if a == b else 0.0))
@@ -362,11 +375,20 @@ def _chunk_ranges(n_cells_x: int, y: int, z: int, budget: int | None = None):
     (17x24x384 = 157k) single-chunk."""
     if budget is None:
         budget = _chunk_padded_vol()
-    padded = (n_cells_x + 1) * _round_up(y + 1, 8) * _round_up(z + 1, 128)
+    plane = _round_up(y + 1, 8) * _round_up(z + 1, 128)
+    padded = (n_cells_x + 1) * plane
     if padded <= budget:
         return [(0, n_cells_x)]
-    n_chunks = -(-padded // budget)
-    per = -(-n_cells_x // n_chunks)
+    # Size chunks from the budget DIRECTLY: chunk [c0, c1) holds c1-c0+1
+    # vertex planes. The previous form derived a chunk COUNT from
+    # total/budget and split x evenly, which let the +1 overlap plane push
+    # every chunk past the budget when the yz plane is large — measured on
+    # the 1.1M-vert (33,33,1025) grid: per=4 gave 230k-element chunks
+    # against the 160k budget and the hvp kernel blew the scoped-VMEM stack
+    # by 312K at compile (117.71M vs 117.40M); per=2 (this formula) fits.
+    # per=1 (2-plane chunks) is the x-chunking floor: a single yz plane
+    # over budget cannot be split along x at all.
+    per = max(budget // plane - 1, 1)
     return [(i, min(i + per, n_cells_x))
             for i in range(0, n_cells_x, per)]
 

@@ -119,24 +119,34 @@ def _cell_slices(x_lat):
             for (di, dj, dk) in _CORNERS]
 
 
-def elastic_force_lattice(x_lat, cell_mask, g, det, mu, la):
+def elastic_force_lattice(u_lat, cell_mask, g, det, mu, la):
     """Elastic force on the vertex lattice; all data movement is static
     shifted slices/adds (no gather, no scatter).
 
-    x_lat: (X, Y, Z, 3); cell_mask: (X-1, Y-1, Z-1) 1.0 on real cells.
+    u_lat: (X, Y, Z, 3) DISPLACEMENTS from the rest lattice (u = x - x0);
+    cell_mask: (X-1, Y-1, Z-1) 1.0 on real cells.
+
+    Displacement form: F = I + sum_i u_i g_iq^T. On the uniform lattice the
+    rest map is linear, so F(rest) = I holds EXACTLY and the identity is
+    added analytically instead of summed numerically. Forming F from
+    absolute positions sums 8 terms of magnitude |x| * (2/dx) that cancel
+    to O(1) — measured f32 force noise 4.8e-5 on a 12.8-unit-long 74k beam
+    (growing with coordinate magnitude), which stalled Newton at a
+    ~1.2e-4 residual floor; the u-form evaluates the same force to 1.3e-6.
     """
-    xs = _cell_slices(x_lat)                   # 8 x (Cx, Cy, Cz, 3)
-    # F[c, q, r, d] = sum_i xs_i[c, r] g[i, q, d]
+    xs = _cell_slices(u_lat)                   # 8 x (Cx, Cy, Cz, 3)
+    # F[c, q, r, d] = I + sum_i us_i[c, r] g[i, q, d]
     F = sum(_einsum("xyzr,qd->xyzqrd", xs[i], g[i]) for i in range(8))
+    F = F + jnp.eye(3, dtype=u_lat.dtype)
     Ft = jnp.swapaxes(F, -1, -2)
     E = 0.5 * (_einsum("xyzqab,xyzqbc->xyzqac", Ft, F)
-               - jnp.eye(3, dtype=x_lat.dtype))
+               - jnp.eye(3, dtype=u_lat.dtype))
     trE = jnp.trace(E, axis1=-2, axis2=-1)
-    M = 2.0 * mu * E + la * trE[..., None, None] * jnp.eye(3, dtype=x_lat.dtype)
+    M = 2.0 * mu * E + la * trE[..., None, None] * jnp.eye(3, dtype=u_lat.dtype)
     P = _einsum("xyzqab,xyzqbc->xyzqac", F, M)
     Pm = P * cell_mask[..., None, None, None]
-    out = jnp.zeros_like(x_lat)
-    X, Y, Z, _ = x_lat.shape
+    out = jnp.zeros_like(u_lat)
+    X, Y, Z, _ = u_lat.shape
     for i, (di, dj, dk) in enumerate(_CORNERS):
         # f_i = -det * sum_q P @ g[i, q]
         fi = -det * _einsum("xyzqrd,qd->xyzr", Pm, g[i])
@@ -144,31 +154,36 @@ def elastic_force_lattice(x_lat, cell_mask, g, det, mu, la):
     return out
 
 
-def elastic_energy_lattice(x_lat, cell_mask, g, det, mu, la):
-    xs = _cell_slices(x_lat)
+def elastic_energy_lattice(u_lat, cell_mask, g, det, mu, la):
+    """StVK energy from DISPLACEMENTS (u = x - x0; see
+    elastic_force_lattice for the precision rationale)."""
+    xs = _cell_slices(u_lat)
     F = sum(_einsum("xyzr,qd->xyzqrd", xs[i], g[i]) for i in range(8))
+    F = F + jnp.eye(3, dtype=u_lat.dtype)
     Ft = jnp.swapaxes(F, -1, -2)
     E = 0.5 * (_einsum("xyzqab,xyzqbc->xyzqac", Ft, F)
-               - jnp.eye(3, dtype=x_lat.dtype))
+               - jnp.eye(3, dtype=u_lat.dtype))
     trE = jnp.trace(E, axis1=-2, axis2=-1)
     psi = mu * jnp.sum(E * E, axis=(-2, -1)) + 0.5 * la * trE * trE
     return jnp.sum(psi * cell_mask[..., None] * det)
 
 
-def elastic_hessian_diag_lattice(x_lat, cell_mask, g, det, mu, la):
+def elastic_hessian_diag_lattice(u_lat, cell_mask, g, det, mu, la):
     """Vertex-diagonal 3x3 Hessian blocks on the lattice (stencil form of
-    ops.elastic.hessian_diag): 8 shifted adds of per-cell corner blocks."""
-    xs = _cell_slices(x_lat)
+    ops.elastic.hessian_diag): 8 shifted adds of per-cell corner blocks.
+    Takes DISPLACEMENTS (see elastic_force_lattice)."""
+    xs = _cell_slices(u_lat)
     F = sum(_einsum("xyzr,qd->xyzqrd", xs[i], g[i]) for i in range(8))
+    F = F + jnp.eye(3, dtype=u_lat.dtype)
     Ft = jnp.swapaxes(F, -1, -2)
     E = 0.5 * (_einsum("xyzqab,xyzqbc->xyzqac", Ft, F)
-               - jnp.eye(3, dtype=x_lat.dtype))
+               - jnp.eye(3, dtype=u_lat.dtype))
     trE = jnp.trace(E, axis1=-2, axis2=-1)
-    M = 2.0 * mu * E + la * trE[..., None, None] * jnp.eye(3, dtype=x_lat.dtype)
+    M = 2.0 * mu * E + la * trE[..., None, None] * jnp.eye(3, dtype=u_lat.dtype)
     C = _einsum("xyzqrc,xyzqsc->xyzqrs", F, F)
-    X, Y, Z, _ = x_lat.shape
-    out = jnp.zeros(x_lat.shape[:3] + (3, 3), x_lat.dtype)
-    eye = jnp.eye(3, dtype=x_lat.dtype)
+    X, Y, Z, _ = u_lat.shape
+    out = jnp.zeros(u_lat.shape[:3] + (3, 3), u_lat.dtype)
+    eye = jnp.eye(3, dtype=u_lat.dtype)
     cm = cell_mask[..., None, None]
     for i, (di, dj, dk) in enumerate(_CORNERS):
         u = _einsum("xyzqrc,qc->xyzqr", F, g[i])          # u_i = F g_i

@@ -153,8 +153,12 @@ def make_dist_force(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
         out_specs=P(axis, None, None, None, None),
     )
 
+    # displacement form (ops/stencil.py precision note): kernels take
+    # u = x - x0; ghost planes of x0g are refreshed away inside _local
+    x0g = slabs.scatter(scene.x0)
+
     def force(x_blocks):
-        return fn(x_blocks, cell_blocks)
+        return fn(x_blocks - x0g, cell_blocks)
 
     return force
 
@@ -212,8 +216,10 @@ def make_dist_hvp(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
         out_specs=P(axis, None, None, None, None),
     )
 
+    x0g = slabs.scatter(scene.x0)   # displacement form (ops/stencil.py)
+
     def hvp(x_blocks, p_blocks):
-        return fn(x_blocks, p_blocks, cell_blocks)
+        return fn(x_blocks - x0g, p_blocks, cell_blocks)
 
     return hvp
 
@@ -259,8 +265,10 @@ def make_dist_diag(slabs: LatticeSlabs, mesh: Mesh, axis: str = "sp",
         out_specs=P(axis, None, None, None, None, None),
     )
 
+    x0g = slabs.scatter(scene.x0)   # displacement form (ops/stencil.py)
+
     def diag(x_blocks):
-        return fn(x_blocks, cell_blocks)
+        return fn(x_blocks - x0g, cell_blocks)
 
     return diag
 

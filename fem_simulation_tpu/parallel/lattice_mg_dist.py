@@ -132,6 +132,10 @@ class DistLatticeMG(LatticeMG):
         D = mesh.shape[axis]
         mat = self.scene.material
         mu, la, dx = mat.lame_mu, mat.lame_la, lvl.dx
+        # displacement form (ops/stencil.py precision note): the local
+        # Pallas kernels take u = x - rest; subtract the level's analytic
+        # rest grid BEFORE the shard_map (GSPMD shards the subtraction)
+        x_l = x_l - self.x0_levels[li]
         cell_slabs = self._level_cell_slabs[li]
         perm_up = [(i, i + 1) for i in range(D - 1)]
         perm_dn = [(i + 1, i) for i in range(D - 1)]

@@ -143,8 +143,15 @@ class LatticeScene:
         return pallas and (self.boxes is None or cm.shape[2] >= 16)
 
     def elastic_force(self, x, pallas):
-        """Raw elastic force on the vertex grid (no gravity/pins/inertia)."""
+        """Raw elastic force on the vertex grid (no gravity/pins/inertia).
+
+        The kernels take DISPLACEMENTS u = x - x0 (the identity part of F
+        is analytic — forming F from absolute positions sets a coordinate-
+        magnitude-dependent f32 noise floor; ops/stencil.py has the
+        measured 38x story). All four elastic ops below subtract the rest
+        grid here, once, so callers keep passing positions."""
         mat = self.material
+        x = x - self.x0
 
         def kern(cm, xx):
             if self._pallas_ok(pallas, cm):
@@ -161,6 +168,7 @@ class LatticeScene:
 
     def elastic_energy(self, x, pallas):
         mat = self.material
+        x = x - self.x0
 
         def kern(cm, xx):
             if self._pallas_ok(pallas, cm):
@@ -175,6 +183,7 @@ class LatticeScene:
 
     def elastic_diag(self, x, pallas):
         mat = self.material
+        x = x - self.x0
 
         def kern(cm, xx):
             if self._pallas_ok(pallas, cm):
@@ -194,6 +203,7 @@ class LatticeScene:
         below the lane gate use the JVP of the stencil force (negated to
         the Hessian sign convention of plat.hvp_cf)."""
         mat = self.material
+        x = x - self.x0
 
         def kern(cm, xx, pp):
             if self._pallas_ok(pallas, cm):
@@ -274,8 +284,19 @@ def step_to_tol(scene: LatticeScene, st: LatState,
 
     vmask3 = scene.vert_mask[..., None]
 
+    def ie_energy(xe):
+        """Implicit-Euler incremental potential (resid == -grad of this):
+        elastic + gravity + pin/drag penalties + inertia proximal term."""
+        e = scene.total_energy(xe, pallas)
+        dd = (xe - st.drag_pos) * vmask3
+        e = e + 0.5 * mat.control_mag * jnp.sum(
+            st.drag_mask[..., None] * dd * dd)
+        di = (xe - x_tilde) * vmask3
+        return e + 0.5 * inv_dt * inv_dt * jnp.sum(
+            scene.mass[..., None] * di * di)
+
     def body(c):
-        xx, k, _, fmin = c
+        xx, k, fn_prev, fmin = c
         f = resid(xx)
         if pallas:
             hvp = scene.elastic_hvp_fn(xx, True)
@@ -289,8 +310,25 @@ def step_to_tol(scene: LatticeScene, st: LatState,
         minv = lambda r: ell.solve3x3(diag, r) * vmask3
         dx = cgmod.pcg_operator(matvec, minv, f,
                                 iterations=cg_iterations, tol=cg_tol)
-        xx = xx + dx * vmask3
-        fn = ell.inf_norm(resid(xx))
+        x_full = xx + dx * vmask3
+        fn_full = ell.inf_norm(resid(x_full))
+        # Rescue: dynamics takes full Newton steps (the common case — the
+        # mass shift keeps the system SPD and the step contracts). A fast-
+        # swinging body under StVK can still blow a full step up (measured:
+        # the rocker.obj pendulum hits fn=inf at frame 8, |v| jumping 0.8 ->
+        # 62). When the full step grows the residual wildly or non-finitely,
+        # redo it as an Armijo backtrack on the incremental potential —
+        # guaranteed descent of a bounded-below energy, so the frame cannot
+        # diverge. Costs nothing on the good path (one lax.cond branch).
+        bad = (~jnp.isfinite(fn_full)
+               | (fn_full > 30.0 * jnp.maximum(fn_prev, tol)))
+
+        def rescue(_):
+            x_ls = armijo_step(ie_energy, xx, f, dx, vmask3)
+            return x_ls, ell.inf_norm(resid(x_ls))
+
+        xx, fn = jax.lax.cond(bad, rescue,
+                              lambda _: (x_full, fn_full), None)
         return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
     fn0 = ell.inf_norm(resid(x))
@@ -364,6 +402,35 @@ def armijo_step(energy_fn, xx, f, dx, vmask3, n_back: int = 16,
         cond, body, (jnp.asarray(1.0, xx.dtype), jnp.bool_(False),
                      jnp.int32(0)))
     return xx + jnp.where(done, t, 0.0) * d
+
+
+def newton_update(xx, f, dx, vmask3, fn_prev, energy_fn, resid_inf,
+                  line_search: bool):
+    """Shared quasi-static Newton step acceptance: take the FULL step when
+    it reduces the residual, Armijo-backtrack on the energy only when it
+    grows.
+
+    Unconditional Armijo stalls near tolerance: a Newton step at
+    ||f|| ~ 1e-4 decreases the energy by ~||f||^2/K ~ 1e-8, far below the
+    f32 evaluation noise of the TOTAL energy (a single sum over all cells,
+    ~1e-4 at 74k vertices), so the backtracking loop cannot measure descent,
+    halves t to nothing, and returns a zero step — measured: the 74k-beam
+    latmg quasi-static crept at a 1.6e-4 residual for its whole 100-Newton
+    budget while the residual-acceptance variant converges. Full steps on
+    residual decrease are exactly the quadratic-convergence regime; the
+    energy line search still guards the indefinite large-deformation
+    region, where diverging steps DO grow the residual."""
+    x_full = xx + dx * vmask3
+    fn_full = resid_inf(x_full)
+    if not line_search:
+        return x_full, fn_full
+
+    def fallback(_):
+        x_ls = armijo_step(energy_fn, xx, f, dx, vmask3)
+        return x_ls, resid_inf(x_ls)
+
+    return jax.lax.cond(fn_full <= fn_prev,
+                        lambda _: (x_full, fn_full), fallback, None)
 
 
 def adaptive_continuation(solve_at, x, tol: float, max_newton_stage: int,
@@ -476,7 +543,7 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
 
     def solve_at(x0, gs):
         def body(c):
-            xx, k, _, fmin = c
+            xx, k, fn_prev, fmin = c
             f = resid(xx, gs)
             if pallas:
                 hvp = scene.elastic_hvp_fn(xx, True)
@@ -490,14 +557,10 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
             minv = lambda r: ell.solve3x3(diag, r) * vmask3
             dx = cgmod.pcg_operator(matvec, minv, f,
                                     iterations=cg_iterations, tol=cg_tol)
-            if line_search:
-                xx = armijo_step(
-                    lambda xe: scene.total_energy(xe, pallas,
-                                                  gravity_scale=gs),
-                    xx, f, dx, vmask3)
-            else:
-                xx = xx + dx * vmask3
-            fn = ell.inf_norm(resid(xx, gs))
+            xx, fn = newton_update(
+                xx, f, dx, vmask3, fn_prev,
+                lambda xe: scene.total_energy(xe, pallas, gravity_scale=gs),
+                lambda xe: ell.inf_norm(resid(xe, gs)), line_search)
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
         fn0 = ell.inf_norm(resid(x0, gs))

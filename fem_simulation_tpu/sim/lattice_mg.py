@@ -240,6 +240,9 @@ class LatticeMG:
         # on OBJ-shaped grids (kitten fine level: 1.75x) and ENABLES Pallas
         # on levels whose natural z is short — the lane gate below sees the
         # permuted extent (the kitten's 15-plane level 1 was XLA-forced).
+        # displacement form (ops/stencil.py precision note): every elastic
+        # kernel takes u = x - rest; each level's rest is its analytic grid
+        x_l = x_l - self.x0_levels[li]
         cell_ext = tuple(int(s) for s in lvl.cell_mask.shape)
         perm, pcost = boxlib.best_perm(cell_ext)
         if pcost >= 0.95 * boxlib._perm_cost(tuple(e + 1 for e in cell_ext)):
@@ -253,22 +256,32 @@ class LatticeMG:
         if pallas_l:
             cm_p = jnp.transpose(lvl.cell_mask, perm)
             tr = perm + (3,)
+            cperm = jnp.asarray(perm)
+            cinv = jnp.asarray(inv)
             # fused analytic HVP kernel (~11x the XLA einsum chain on v5e);
-            # channels-first with the permuted grid axes
-            x_cf = jnp.transpose(jnp.transpose(x_l, tr), (3, 0, 1, 2))
+            # channels-first with the permuted grid axes. World (channel)
+            # axes co-rotate with the grid axes and outputs relabel back —
+            # required for exactness under the displacement-form kernels
+            # (see ops/boxes.py module docstring).
+            x_cf = jnp.transpose(
+                jnp.transpose(x_l, tr)[..., list(perm)], (3, 0, 1, 2))
 
-            def matvec(p, x_cf=x_cf, cm_p=cm_p, lvl=lvl, tr=tr, inv=inv):
-                p_cf = jnp.transpose(jnp.transpose(p, tr), (3, 0, 1, 2))
+            def matvec(p, x_cf=x_cf, cm_p=cm_p, lvl=lvl, tr=tr, inv=inv,
+                       cinv=cinv):
+                p_cf = jnp.transpose(
+                    jnp.transpose(p, tr)[..., list(tr[:3])], (3, 0, 1, 2))
                 hp = jnp.transpose(plat.hvp_cf(
                     x_cf, p_cf, cm_p, lvl.dx,
                     mat.lame_mu, mat.lame_la), (1, 2, 3, 0))
+                hp = jnp.take(hp, cinv, axis=3)
                 hp = jnp.transpose(hp, inv + (3,))
                 return (hp + lvl.ctrl[..., None] * p) \
                     * lvl.vert_mask[..., None]
 
             diag = plat.hess_diag_lattice(
-                jnp.transpose(x_l, tr), cm_p, lvl.dx,
+                jnp.transpose(x_l, tr)[..., list(perm)], cm_p, lvl.dx,
                 mat.lame_mu, mat.lame_la)
+            diag = jnp.take(jnp.take(diag, cinv, axis=3), cinv, axis=4)
             diag = jnp.transpose(diag, inv + (3, 4))
         else:
             def force(xx, lvl=lvl):
@@ -441,8 +454,17 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
     def resid(xx):
         return scene.dyn_force(xx, x_tilde, inv_dt, use_pallas=mg.use_pallas)
 
+    vmask3 = scene.vert_mask[..., None]
+
+    def ie_energy(xe):
+        # implicit-Euler incremental potential (same rescue as step_to_tol)
+        e = scene.total_energy(xe, mg.use_pallas)
+        di = (xe - x_tilde) * vmask3
+        return e + 0.5 * inv_dt * inv_dt * jnp.sum(
+            scene.mass[..., None] * di * di)
+
     def body(c):
-        xx, k, _, fmin = c
+        xx, k, fn_prev, fmin = c
         f = resid(xx)
         ops = mg.linearize(pad(xx))
 
@@ -455,8 +477,20 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
         dx = cgmod.pcg_operator(matvec, minv, pad(f),
                                 iterations=cg_iterations, tol=cg_tol,
                                 flexible=mg.coarse_cg > 0)
-        xx = xx + unpad(dx) * scene.vert_mask[..., None]
-        fn = ell.inf_norm(resid(xx))
+        x_full = xx + unpad(dx) * vmask3
+        fn_full = ell.inf_norm(resid(x_full))
+        # blowup rescue (see sim/lattice.py step_to_tol): Armijo on the
+        # incremental potential only when the full step explodes
+        bad = (~jnp.isfinite(fn_full)
+               | (fn_full > 30.0 * jnp.maximum(fn_prev, tol)))
+
+        def rescue(_):
+            from .lattice import armijo_step
+            x_ls = armijo_step(ie_energy, xx, f, unpad(dx), vmask3)
+            return x_ls, ell.inf_norm(resid(x_ls))
+
+        xx, fn = jax.lax.cond(bad, rescue,
+                              lambda _: (x_full, fn_full), None)
         return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
     fn0 = ell.inf_norm(resid(x))
@@ -483,22 +517,23 @@ def _solve_level_quasistatic(mg: LatticeMG, li: int, x0, tol, max_newton,
     eye = jnp.eye(3, dtype=x0.dtype)
 
     def resid(xx, gs):
-        f = stencil.elastic_force_lattice(xx, lvl.cell_mask, lvl.g_tab,
+        f = stencil.elastic_force_lattice(xx - x0_l, lvl.cell_mask, lvl.g_tab,
                                           lvl.det, mat.lame_mu, mat.lame_la)
         f = f.at[..., 1].add(m * mat.gravity * gs)
         f = f + lvl.ctrl[..., None] * (x0_l - xx)
         return f * vm3
 
     def energy(xx, gs):
-        e = stencil.elastic_energy_lattice(xx, lvl.cell_mask, lvl.g_tab,
-                                           lvl.det, mat.lame_mu, mat.lame_la)
+        e = stencil.elastic_energy_lattice(xx - x0_l, lvl.cell_mask,
+                                           lvl.g_tab, lvl.det,
+                                           mat.lame_mu, mat.lame_la)
         e = e - jnp.sum(m * mat.gravity * gs * xx[..., 1])
         d = (xx - x0_l) * vm3
         return e + 0.5 * jnp.sum(lvl.ctrl[..., None] * d * d)
 
     def solve_at(xc, gs):
         def body(c):
-            xx, k, _, fmin = c
+            xx, k, fn_prev, fmin = c
             f = resid(xx, gs)
             matvec, diag = mg._level_matvec_diag(li, lvl, xx)
             diag = diag + (lvl.ctrl
@@ -508,11 +543,10 @@ def _solve_level_quasistatic(mg: LatticeMG, li: int, x0, tol, max_newton,
             minv = lambda r: ell.solve3x3(diag, r) * vm3
             dx = cgmod.pcg_operator(matvec, minv, f,
                                     iterations=cg_iterations, tol=cg_tol)
-            if line_search:
-                xx = armijo_step(lambda xe: energy(xe, gs), xx, f, dx, vm3)
-            else:
-                xx = xx + dx * vm3
-            fn = ell.inf_norm(resid(xx, gs))
+            from .lattice import newton_update
+            xx, fn = newton_update(
+                xx, f, dx, vm3, fn_prev, lambda xe: energy(xe, gs),
+                lambda xe: ell.inf_norm(resid(xe, gs)), line_search)
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
         fn0 = ell.inf_norm(resid(xc, gs))
@@ -671,22 +705,19 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
 
     def solve_at(x0, gs):
         def body(c):
-            xx, k, _, fmin = c
+            xx, k, fn_prev, fmin = c
             f = resid(xx, gs)
             ops = mg.linearize(pad(xx))
             dx = cgmod.pcg_operator(ops[0][0], lambda r: mg.vcycle(ops, r),
                                     pad(f), iterations=cg_iterations,
                                     tol=cg_tol, flexible=mg.coarse_cg > 0)
             vmask3 = scene.vert_mask[..., None]
-            if line_search:
-                from .lattice import armijo_step
-                xx = armijo_step(
-                    lambda xe: scene.total_energy(xe, mg.use_pallas,
-                                                  gravity_scale=gs),
-                    xx, f, unpad(dx), vmask3)
-            else:
-                xx = xx + unpad(dx) * vmask3
-            fn = ell.inf_norm(resid(xx, gs))
+            from .lattice import newton_update
+            xx, fn = newton_update(
+                xx, f, unpad(dx), vmask3, fn_prev,
+                lambda xe: scene.total_energy(xe, mg.use_pallas,
+                                              gravity_scale=gs),
+                lambda xe: ell.inf_norm(resid(xe, gs)), line_search)
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
 
         fn0 = ell.inf_norm(resid(x0, gs))

@@ -28,7 +28,8 @@ def test_lattice_force_matches_unstructured(meshes):
     f_u = elastic.force(x, p0["hexes"], p0["det"], p0["g"], 250.0, 0.0,
                         x.shape[0])
     # lattice elastic force (same canonical ordering via lat map)
-    x_lat = stencil.field_to_lattice(x, scene_l.lat, scene_l.shape)
+    x_lat = stencil.field_to_lattice(x, scene_l.lat, scene_l.shape) \
+        - scene_l.x0    # stencil kernels take displacements
     f_lat = stencil.elastic_force_lattice(x_lat, scene_l.cell_mask,
                                           scene_l.g_tab, scene_l.det,
                                           250.0, 0.0)
@@ -46,7 +47,8 @@ def test_lattice_energy_matches(meshes):
         rng.normal(size=scene_u.x0.shape).astype(np.float32))
     p0 = scene_u.params["levels"][0]
     e_u = elastic.energy(x, p0["hexes"], p0["det"], p0["g"], 250.0, 5.0)
-    x_lat = stencil.field_to_lattice(x, scene_l.lat, scene_l.shape)
+    x_lat = stencil.field_to_lattice(x, scene_l.lat, scene_l.shape) \
+        - scene_l.x0    # displacement form
     e_l = stencil.elastic_energy_lattice(x_lat, scene_l.cell_mask,
                                          scene_l.g_tab, scene_l.det,
                                          250.0, 5.0)
@@ -180,9 +182,10 @@ def test_pallas_hess_diag_matches(meshes):
     x = scene.x0 + 0.03 * jnp.asarray(
         rng.normal(size=scene.x0.shape).astype(np.float32)) \
         * scene.vert_mask[..., None]
+    u = x - scene.x0    # displacement form
     ref = stencil.elastic_hessian_diag_lattice(
-        x, scene.cell_mask, scene.g_tab, scene.det, 250.0, 37.0)
-    got = plat.hess_diag_lattice(x, scene.cell_mask, meshes.dx, 250.0, 37.0,
+        u, scene.cell_mask, scene.g_tab, scene.det, 250.0, 37.0)
+    got = plat.hess_diag_lattice(u, scene.cell_mask, meshes.dx, 250.0, 37.0,
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
@@ -196,9 +199,10 @@ def test_pallas_energy_matches(meshes):
     x = scene.x0 + 0.03 * jnp.asarray(
         rng.normal(size=scene.x0.shape).astype(np.float32)) \
         * scene.vert_mask[..., None]
-    ref = stencil.elastic_energy_lattice(x, scene.cell_mask, scene.g_tab,
+    u = x - scene.x0    # displacement form
+    ref = stencil.elastic_energy_lattice(u, scene.cell_mask, scene.g_tab,
                                          scene.det, 250.0, 37.0)
-    got = plat.elastic_energy_lattice(x, scene.cell_mask, meshes.dx,
+    got = plat.elastic_energy_lattice(u, scene.cell_mask, meshes.dx,
                                       250.0, 37.0, interpret=True)
     assert float(got) == pytest.approx(float(ref), rel=1e-4)
 
@@ -228,6 +232,7 @@ def test_pallas_x_chunking_matches_single(monkeypatch):
         rng.normal(size=scene.x0.shape).astype(np.float32)) \
         * scene.vert_mask[..., None]
     p = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    x = x - scene.x0    # displacement form (both kernel families)
     x_cf = jnp.transpose(x, (3, 0, 1, 2))
     p_cf = jnp.transpose(p, (3, 0, 1, 2))
     args = (scene.cell_mask, scene.mesh.dx, 250.0, 37.0)
@@ -277,3 +282,53 @@ def test_lattice_quasistatic_mg_coarse_cg():
         lambda xx: quasistatic_to_tol_mg(scene, mg, xx, tol=1e-4))(scene.x0)
     assert float(f2) <= 1e-4
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
+
+
+def test_elastic_force_translation_invariance():
+    """Displacement-form kernels (ops/stencil.py, ops/pallas_lattice.py):
+    the elastic force is a function of u = x - x0 only, so translating the
+    mesh origin ~1000 units must leave it unchanged up to the STATE
+    quantization (x = x0 + du rounds du at ulp(|origin|) ~ 6e-5 before the
+    kernel ever runs; the subtraction u = x - x0 itself is exactly
+    rounded). The old position-form kernels formed F from absolute
+    coordinates, whose f32 evaluation noise scaled as |x|*(2/dx)*8eps
+    ~ 2e-2 at this origin — 4x over this test's
+    threshold (measured state-quantization diff here: 2.6e-3) — and stalled Newton at a ~1.2e-4 floor on a 12.8-unit beam
+    at origin ZERO."""
+    cells = np.array([[i, j, k] for i in range(3) for j in range(3)
+                      for k in range(8)])
+    rng = np.random.default_rng(21)
+    u = 0.02 * rng.normal(size=(4 * 4 * 9, 3)).astype(np.float32)
+    outs = []
+    for origin in (np.zeros(3), np.array([173.0, -58.0, 940.0])):
+        m = meshlib.hex_mesh_from_cells(cells, 0.05, origin)
+        sc = LatticeScene(m)
+        du = stencil.field_to_lattice(jnp.asarray(u), sc.lat, sc.shape) \
+            * sc.vert_mask[..., None]
+        f = sc.elastic_force(sc.x0 + du, pallas=False)
+        e = sc.elastic_energy(sc.x0 + du, pallas=False)
+        outs.append((np.asarray(f), float(e)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=5e-3)
+    assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-2)
+
+
+def test_dynamic_rescue_survives_violent_kick():
+    """A full Newton step on a fast-swinging StVK body can diverge (the
+    rocker.obj pendulum hit fn=inf at frame 8 pre-rescue); the incremental-
+    potential Armijo rescue in step_to_tol must keep every frame finite."""
+    from fem_simulation_tpu.sim.lattice import step_to_tol
+    m = meshlib.beam(3, 3, 12, dx=0.05)
+    sc = LatticeScene(m)
+    st = sc.init_state()
+    # violent rigid-rotation kick about the pinned top slab
+    x = np.asarray(st.x)
+    r = x - x.reshape(-1, 3).mean(0)
+    omega = np.array([18.0, 0.0, 6.0], np.float32)
+    v = np.cross(np.broadcast_to(omega, r.shape), r).astype(np.float32)
+    st = st._replace(v=jnp.asarray(v) * sc.vert_mask[..., None])
+    step = jax.jit(lambda s: step_to_tol(sc, s, tol=1e-4, max_newton=25,
+                                         use_pallas=False))
+    for _ in range(6):
+        st, k, fn = step(st)
+        assert np.isfinite(np.asarray(st.x)).all()
+        assert np.isfinite(np.asarray(st.v)).all()

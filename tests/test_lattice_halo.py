@@ -20,7 +20,8 @@ def test_distributed_lattice_force_matches_single():
         rng.normal(size=scene.x0.shape).astype(np.float32)
     ) * scene.vert_mask[..., None]
 
-    ref = stencil.elastic_force_lattice(x, scene.cell_mask, scene.g_tab,
+    ref = stencil.elastic_force_lattice(x - scene.x0, scene.cell_mask,
+                                        scene.g_tab,
                                         scene.det, 250.0, 0.0)
 
     force = make_dist_force(slabs, mesh, mu=250.0, la=0.0)
@@ -54,7 +55,8 @@ def test_distributed_lattice_hvp_matches_single():
     p = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
 
     def force(xx):
-        return stencil.elastic_force_lattice(xx, scene.cell_mask, scene.g_tab,
+        return stencil.elastic_force_lattice(xx - scene.x0, scene.cell_mask,
+                                             scene.g_tab,
                                              scene.det, 250.0, 0.0)
 
     _, jvp = jax.linearize(force, x)
@@ -96,7 +98,7 @@ def test_distributed_diag_matches_single():
         rng.normal(size=scene.x0.shape).astype(np.float32)
     ) * scene.vert_mask[..., None]
     ref = stencil.elastic_hessian_diag_lattice(
-        x, scene.cell_mask, scene.g_tab, scene.det, 250.0, 0.0)
+        x - scene.x0, scene.cell_mask, scene.g_tab, scene.det, 250.0, 0.0)
     diag = make_dist_diag(slabs, mesh, mu=250.0, la=0.0)
     got = slabs.gather(jax.jit(diag)(slabs.scatter(x)))
     # f32 accumulation order differs between the global and per-slab sums

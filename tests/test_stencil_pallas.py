@@ -99,3 +99,37 @@ def test_mg_level_permuted_pallas_matches_xla():
         * lvl.vert_mask[..., None]
     np.testing.assert_allclose(np.asarray(mv_p(p)), np.asarray(mv_x(p)),
                                atol=1e-3)
+
+
+def test_chunk_ranges_respect_budget():
+    """Every x-chunk's padded per-field VMEM volume must stay within the
+    budget (chunks hold c1-c0+1 VERTEX planes — the +1 overlap previously
+    pushed chunks past the budget on large yz planes: the 1.1M-vert
+    (32,32,1024)-cell grid got 230k-element chunks against a 160k budget
+    and blew the TPU scoped-VMEM stack at compile). Floor: per=1 when even
+    two vertex planes exceed the budget."""
+    from fem_simulation_tpu.ops.pallas_lattice import _chunk_ranges, _round_up
+
+    for (cx, cy, cz), budget in [
+        ((32, 32, 1024), 160_000),   # the measured 1.1M-vert OOM shape
+        ((32, 32, 1024), 64_000),    # diag budget: per=1 floor (2 planes
+                                     # = 92k > 64k; x-chunking cannot split
+                                     # a single yz plane)
+        ((33, 50, 29), 160_000),     # kitten-shaped
+        ((16, 16, 256), 160_000),    # 66k flagship: must stay single-chunk
+        ((50, 50, 50), 64_000),
+    ]:
+        plane = _round_up(cy + 1, 8) * _round_up(cz + 1, 128)
+        ranges = _chunk_ranges(cx, cy, cz, budget)
+        # coverage: contiguous, complete
+        assert ranges[0][0] == 0 and ranges[-1][1] == cx
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 == b0
+        floor = 2 * plane > budget
+        for (c0, c1) in ranges:
+            vol = (c1 - c0 + 1) * plane
+            if floor:
+                assert c1 - c0 == 1 or (c0, c1) == ranges[-1]
+            else:
+                assert vol <= budget, ((cx, cy, cz), budget, (c0, c1), vol)
+    assert _chunk_ranges(16, 16, 256, 160_000) == [(0, 16)]
