@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--max-newton", type=int, default=20,
                     help="per-frame Newton budget for the dynamic step "
                          "(20 suffices through 66k verts; 131k+ needs more)")
+    ap.add_argument("--adaptive-substep", action="store_true",
+                    help="redo frames whose Newton budget misses tol at "
+                         "dt/2^h (sim.lattice.frame_adaptive) — violent "
+                         "free-swinging configs (e.g. the rocker pendulum) "
+                         "converge every frame instead of exiting at ~1e-2; "
+                         "--solver lattice dynamic only")
     ap.add_argument("--amortized", action="store_true",
                     help="headline = total wall / frames of one scanned "
                          "dispatch (includes the ~33 ms tunnel dispatch and "
@@ -186,6 +192,10 @@ def main():
                     if solver == "latmg":
                         st2, k, fn = step_to_tol_mg(lscene, lmg, st,
                                                     tol=args.tol, max_newton=args.max_newton)
+                    elif args.adaptive_substep:
+                        st2, k, fn, _ = latmod.frame_adaptive(
+                            lscene, st, tol=args.tol, max_newton=args.max_newton,
+                            use_pallas=False if args.no_pallas else None)
                     else:
                         st2, k, fn = latmod.step_to_tol(
                             lscene, st, tol=args.tol, max_newton=args.max_newton,

@@ -256,19 +256,25 @@ def step_to_tol(scene: LatticeScene, st: LatState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
                 cg_iterations: int = 60, cg_tol: float = 1e-2,
-                use_pallas=None):
+                use_pallas=None, dt=None, damping=None):
     """One frame: predictor + matrix-free Newton with block-Jacobi PCG.
 
     On TPU the elastic force and Hessian-vector products run as fused Pallas
     kernels (ops.pallas_lattice); the analytic HVP kernel replaces
     jax.linearize.
+
+    `dt`/`damping` override the config values and may be TRACED scalars —
+    frame_adaptive exploits this to substep a frame at dt/2^h inside one
+    compiled program.
     """
     pallas = _use_pallas(use_pallas)
-    inv_dt = 1.0 / dyn.dt
+    dt = dyn.dt if dt is None else dt
+    damping = dyn.damping if damping is None else damping
+    inv_dt = 1.0 / dt
     mat = scene.material
     x_old = st.x
-    v = st.v * dyn.damping
-    x = st.x + v * dyn.dt
+    v = st.v * damping
+    x = st.x + v * dt
     x_tilde = x
 
     def resid(xx):
@@ -339,6 +345,68 @@ def step_to_tol(scene: LatticeScene, st: LatState,
     return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
 
 
+def frame_adaptive(scene: LatticeScene, st: LatState,
+                   dyn: DynamicsConfig = DynamicsConfig(),
+                   tol: float = 1e-4, max_newton: int = 20,
+                   cg_iterations: int = 60, cg_tol: float = 1e-2,
+                   use_pallas=None, max_halvings: int = 3):
+    """One frame of dyn.dt total duration with ADAPTIVE TIME SUBSTEPPING.
+
+    The blowup rescue in step_to_tol keeps violent frames finite, but a
+    fast-swinging StVK body can still exhaust the Newton budget above tol
+    (measured: the rocker.obj pendulum's hardest frames exit at ~1e-2 with
+    25 Newton). Implicit Euler's nonlinear solve gets strictly easier as dt
+    shrinks (the m/dt^2 proximal term dominates), so when any substep fails
+    to reach tol the WHOLE frame is redone from the original state with
+    twice as many substeps of half the length — up to 2^max_halvings. The
+    accepted frame advances exactly dyn.dt of physical time; damping is
+    applied once per substep at damping^(1/n) so n substeps compose to the
+    frame's configured decay.
+
+    Everything is one compiled program (nested lax.while_loops over a
+    traced dt); the common case costs one extra residual comparison.
+
+    Returns (state, max Newton iters over accepted substeps, worst substep
+    exit norm, n_substeps used). The reference has no analog (its frames
+    run a fixed 5 CG iterations and simply go unstable on such kicks,
+    exp1/simulation/object.py:1286-1329).
+    """
+    def run_at(n_sub):
+        n_f = n_sub.astype(st.x.dtype)
+        dt = dyn.dt / n_f
+        damp = dyn.damping ** (1.0 / n_f)
+
+        def body(c):
+            s, i, kmax, fworst = c
+            s2, k, fn = step_to_tol(scene, s, dyn, tol, max_newton,
+                                    cg_iterations, cg_tol, use_pallas,
+                                    dt=dt, damping=damp)
+            return (s2, i + 1, jnp.maximum(kmax, k),
+                    jnp.maximum(fworst, fn))
+
+        # stop early once any substep misses tol — the frame will be redone
+        s, _, kmax, fworst = jax.lax.while_loop(
+            lambda c: (c[1] < n_sub) & (c[3] <= tol),
+            body, (st, jnp.int32(0), jnp.int32(0),
+                   jnp.zeros((), st.x.dtype)))
+        return s, kmax, fworst
+
+    def cond(c):
+        h, _, _, fworst, _ = c
+        return (fworst > tol) & (h <= max_halvings)
+
+    def body(c):
+        h = c[0]
+        n_sub = jnp.int32(1) << h
+        s, kmax, fworst = run_at(n_sub)
+        return (h + 1, s, kmax, fworst, n_sub)
+
+    _, s, kmax, fworst, n_sub = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), st, jnp.int32(0),
+                     jnp.full((), jnp.inf, st.x.dtype), jnp.int32(1)))
+    return s, kmax, fworst, n_sub
+
+
 class LatticeDynamicSim:
     def __init__(self, mesh: meshlib.HexMesh,
                  material: MaterialConfig = MaterialConfig(),
@@ -356,6 +424,17 @@ class LatticeDynamicSim:
                                            max_newton))
         self.state, k, f = fn(self.state)
         return self.state, k, f
+
+    def frame_adaptive_to_tol(self, tol=1e-4, max_newton=20,
+                              max_halvings=3):
+        """frame_to_tol with adaptive time substepping: violent frames that
+        exhaust the Newton budget are redone at dt/2^h until every substep
+        converges. Returns (state, k, fn, n_substeps)."""
+        fn = jax.jit(lambda s: frame_adaptive(self.scene, s, self.dyn, tol,
+                                              max_newton,
+                                              max_halvings=max_halvings))
+        self.state, k, f, n = fn(self.state)
+        return self.state, k, f, n
 
     def set_drag(self, mask_canonical, targets_canonical):
         """Drag constraints given in canonical vertex order (Picker output)."""

@@ -332,3 +332,29 @@ def test_dynamic_rescue_survives_violent_kick():
         st, k, fn = step(st)
         assert np.isfinite(np.asarray(st.x)).all()
         assert np.isfinite(np.asarray(st.v)).all()
+
+
+def test_adaptive_substepping_converges_violent_kick():
+    """frame_adaptive: the same violent kick, but every frame must now reach
+    the tolerance (the rescue alone keeps frames finite yet can exhaust the
+    Newton budget at ~1e-2); at least one frame must actually engage
+    substepping (n_sub > 1), and the advanced physical time per frame is
+    dyn.dt regardless of n_sub."""
+    from fem_simulation_tpu.sim.lattice import frame_adaptive
+    m = meshlib.beam(3, 3, 12, dx=0.05)
+    sc = LatticeScene(m)
+    st = sc.init_state()
+    x = np.asarray(st.x)
+    r = x - x.reshape(-1, 3).mean(0)
+    omega = np.array([18.0, 0.0, 6.0], np.float32)
+    v = np.cross(np.broadcast_to(omega, r.shape), r).astype(np.float32)
+    st = st._replace(v=jnp.asarray(v) * sc.vert_mask[..., None])
+    frame = jax.jit(lambda s: frame_adaptive(sc, s, tol=1e-4, max_newton=25,
+                                             use_pallas=False,
+                                             max_halvings=4))
+    n_subs = []
+    for _ in range(6):
+        st, k, fn, n_sub = frame(st)
+        assert float(fn) <= 1e-4, "every adaptive frame must converge"
+        n_subs.append(int(n_sub))
+    assert max(n_subs) > 1, "the kick must engage substepping"
