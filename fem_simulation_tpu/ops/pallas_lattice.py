@@ -36,6 +36,23 @@ from .elastic import shape_func_grad
 
 _CORNERS = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
 
+# -- roofline work model ------------------------------------------------------
+# Useful f32 FLOPs per ACTIVE cell per kernel invocation, counted from the
+# unrolled arithmetic below (mults+adds per quad point, x 8 quad points;
+# tile-padding work is excluded so MFU measures honest utilization):
+#   force (_chain, p=None):  F 138 + E 57 + trE 2 + M 15 + P 45
+#                            + emit 8x3x8 = 192            -> 449/q
+#   hvp   (_chain, p):       force terms (no P) + dF 135 + dE 108 + trdE 2
+#                            + dM 15 + dP 99 + emit 192    -> 763/q
+#   diag  (_make_diag_kernel): F 138 + E 57 + trE 2 + M 15 + G 30
+#                            + 8x(v 15 + aMa 26 + 6ch 45)  -> 930/q
+# bench.py multiplies these by active-cell counts and measured eval counts
+# to print achieved FLOP/s vs the VPU peak (the chain is elementwise — the
+# MXU never runs here by design).
+FORCE_FLOPS_PER_CELL = 449 * 8
+HVP_FLOPS_PER_CELL = 763 * 8
+DIAG_FLOPS_PER_CELL = 930 * 8
+
 
 def _g_table(dx: float) -> np.ndarray:
     return np.asarray(shape_func_grad(), np.float32) * np.float32(2.0 / dx)

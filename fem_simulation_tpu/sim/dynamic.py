@@ -46,13 +46,15 @@ def init_state(scene: Scene) -> DynState:
                     drag_pos=x0)
 
 
-def _dyn_force(scene: Scene, params, st: DynState, x, x_tilde, inv_dt):
+def _dyn_force(scene: Scene, params, st: DynState, x, x_tilde, inv_dt,
+               gravity_scale=1.0):
     """Full implicit-Euler residual force at x (canonical order)."""
     p0 = params["levels"][0]
     mat = scene.material
     f = elastic.force(x, p0["hexes"], p0["det"], p0["g"],
                       mat.lame_mu, mat.lame_la, x.shape[0])
-    f = f + elastic.gravity_force(p0["mass"], mat.gravity, x.shape[0], x.dtype)
+    f = f + gravity_scale * elastic.gravity_force(
+        p0["mass"], mat.gravity, x.shape[0], x.dtype)
     f = f + elastic.pin_force(x, p0["pin_mask"], p0["pin_pos"], mat.control_mag)
     f = f + mat.control_mag * st.drag_mask[:, None] * (st.drag_pos - x)
     f = f + elastic.inertia_force(x, x_tilde, p0["mass"], inv_dt)
@@ -70,7 +72,8 @@ def _dyn_hessian(scene: Scene, params, st: DynState, x, inv_dt):
     return ell.add_to_diag(vals, p0["diag_slot"], diag)
 
 
-def fas_dynamic_cycle(scene: Scene, params, st: DynState, x, x_tilde, inv_dt):
+def fas_dynamic_cycle(scene: Scene, params, st: DynState, x, x_tilde, inv_dt,
+                      gravity_scale=1.0):
     """One two-level FAS cycle on the full implicit-Euler residual.
 
     The reference runs FAS inside the dynamic stepper too
@@ -89,7 +92,8 @@ def fas_dynamic_cycle(scene: Scene, params, st: DynState, x, x_tilde, inv_dt):
     eye = jnp.eye(3, dtype=x.dtype)
 
     def resid(xx):
-        return _dyn_force(scene, params, st, xx, x_tilde, inv_dt)
+        return _dyn_force(scene, params, st, xx, x_tilde, inv_dt,
+                          gravity_scale=gravity_scale)
 
     # fine: dynamic Hessian + one colored-GS sweep
     vals0 = _dyn_hessian(scene, params, st, x, inv_dt)
@@ -145,7 +149,7 @@ def step_to_tol(scene: Scene, params, st: DynState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
                 use_multigrid: bool = True, matrix_free: bool = False,
-                use_fas: bool = False):
+                use_fas: bool = False, gravity_scale=1.0):
     """One frame with Newton iterations until ||f||_inf <= tol (device loop).
 
     This is the benchmark path (BASELINE.md metric). Returns (state, n_newton,
@@ -168,7 +172,8 @@ def step_to_tol(scene: Scene, params, st: DynState,
     op = scene.make_op(0, params)
 
     def resid(xx):
-        return _dyn_force(scene, params, st, xx, x_tilde, inv_dt)
+        return _dyn_force(scene, params, st, xx, x_tilde, inv_dt,
+                          gravity_scale=gravity_scale)
 
     p0 = params["levels"][0]
     mat = scene.material
@@ -176,7 +181,8 @@ def step_to_tol(scene: Scene, params, st: DynState,
     def body(carry):
         xx, k, _, fmin = carry
         if use_fas:
-            xx, f = fas_dynamic_cycle(scene, params, st, xx, x_tilde, inv_dt)
+            xx, f = fas_dynamic_cycle(scene, params, st, xx, x_tilde, inv_dt,
+                                      gravity_scale=gravity_scale)
             fn = ell.inf_norm(resid(xx))
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
         f = resid(xx)

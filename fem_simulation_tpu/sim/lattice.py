@@ -256,7 +256,8 @@ def step_to_tol(scene: LatticeScene, st: LatState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
                 cg_iterations: int = 60, cg_tol: float = 1e-2,
-                use_pallas=None, dt=None, damping=None):
+                use_pallas=None, dt=None, damping=None,
+                gravity_scale=1.0, return_cg: bool = False):
     """One frame: predictor + matrix-free Newton with block-Jacobi PCG.
 
     On TPU the elastic force and Hessian-vector products run as fused Pallas
@@ -265,7 +266,11 @@ def step_to_tol(scene: LatticeScene, st: LatState,
 
     `dt`/`damping` override the config values and may be TRACED scalars —
     frame_adaptive exploits this to substep a frame at dt/2^h inside one
-    compiled program.
+    compiled program. `gravity_scale` (traced OK) scales the gravity load —
+    the excited benchmark oscillates it per frame so every frame solves a
+    genuinely different equilibrium. `return_cg=True` appends the frame's
+    total PCG matvec count to the return (the benchmark's FLOP model needs
+    the measured HVP count, not the CG budget).
     """
     pallas = _use_pallas(use_pallas)
     dt = dyn.dt if dt is None else dt
@@ -280,7 +285,8 @@ def step_to_tol(scene: LatticeScene, st: LatState,
     def resid(xx):
         return scene.dyn_force(xx, x_tilde, inv_dt,
                                drag_mask=st.drag_mask, drag_pos=st.drag_pos,
-                               use_pallas=pallas)
+                               use_pallas=pallas,
+                               gravity_scale=gravity_scale)
 
     eye = jnp.eye(3, dtype=st.x.dtype)
     ctrl = (mat.control_mag * jnp.maximum(scene.pin_mask, st.drag_mask)
@@ -293,7 +299,7 @@ def step_to_tol(scene: LatticeScene, st: LatState,
     def ie_energy(xe):
         """Implicit-Euler incremental potential (resid == -grad of this):
         elastic + gravity + pin/drag penalties + inertia proximal term."""
-        e = scene.total_energy(xe, pallas)
+        e = scene.total_energy(xe, pallas, gravity_scale=gravity_scale)
         dd = (xe - st.drag_pos) * vmask3
         e = e + 0.5 * mat.control_mag * jnp.sum(
             st.drag_mask[..., None] * dd * dd)
@@ -302,7 +308,7 @@ def step_to_tol(scene: LatticeScene, st: LatState,
             scene.mass[..., None] * di * di)
 
     def body(c):
-        xx, k, fn_prev, fmin = c
+        xx, k, fn_prev, fmin, cg_tot = c
         f = resid(xx)
         if pallas:
             hvp = scene.elastic_hvp_fn(xx, True)
@@ -314,8 +320,11 @@ def step_to_tol(scene: LatticeScene, st: LatState,
             matvec = lambda p: -jvp_fn(p)
         diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
         minv = lambda r: ell.solve3x3(diag, r) * vmask3
-        dx = cgmod.pcg_operator(matvec, minv, f,
-                                iterations=cg_iterations, tol=cg_tol)
+        dx, cg_k = cgmod.pcg_operator(matvec, minv, f,
+                                      iterations=cg_iterations, tol=cg_tol,
+                                      return_iters=True)
+        # pcg's iteration carry starts at 1: matvecs executed = cg_k - 1
+        cg_tot = cg_tot + cg_k - 1
         x_full = xx + dx * vmask3
         fn_full = ell.inf_norm(resid(x_full))
         # Rescue: dynamics takes full Newton steps (the common case — the
@@ -335,21 +344,24 @@ def step_to_tol(scene: LatticeScene, st: LatState,
 
         xx, fn = jax.lax.cond(bad, rescue,
                               lambda _: (x_full, fn_full), None)
-        return (xx, k + 1, fn, jnp.minimum(fmin, fn))
+        return (xx, k + 1, fn, jnp.minimum(fmin, fn), cg_tot)
 
+    cond4 = cgmod.newton_cond(tol, max_newton)
     fn0 = ell.inf_norm(resid(x))
-    x, k, fn, fmin = jax.lax.while_loop(
-        cgmod.newton_cond(tol, max_newton), body,
-        (x, jnp.int32(0), fn0, fn0))
+    x, k, fn, fmin, cg_tot = jax.lax.while_loop(
+        lambda c: cond4(c[:4]), body,
+        (x, jnp.int32(0), fn0, fn0, jnp.int32(0)))
     v = (x - x_old) * inv_dt
-    return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
+    out = st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
+    return out + (cg_tot,) if return_cg else out
 
 
 def frame_adaptive(scene: LatticeScene, st: LatState,
                    dyn: DynamicsConfig = DynamicsConfig(),
                    tol: float = 1e-4, max_newton: int = 20,
                    cg_iterations: int = 60, cg_tol: float = 1e-2,
-                   use_pallas=None, max_halvings: int = 3):
+                   use_pallas=None, max_halvings: int = 3,
+                   gravity_scale=1.0):
     """One frame of dyn.dt total duration with ADAPTIVE TIME SUBSTEPPING.
 
     The blowup rescue in step_to_tol keeps violent frames finite, but a
@@ -380,7 +392,8 @@ def frame_adaptive(scene: LatticeScene, st: LatState,
             s, i, kmax, fworst = c
             s2, k, fn = step_to_tol(scene, s, dyn, tol, max_newton,
                                     cg_iterations, cg_tol, use_pallas,
-                                    dt=dt, damping=damp)
+                                    dt=dt, damping=damp,
+                                    gravity_scale=gravity_scale)
             return (s2, i + 1, jnp.maximum(kmax, k),
                     jnp.maximum(fworst, fn))
 

@@ -431,8 +431,11 @@ class LatticeMG:
 def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
                    dyn: DynamicsConfig = DynamicsConfig(),
                    tol: float = 1e-4, max_newton: int = 20,
-                   cg_iterations: int = 30, cg_tol: float = 1e-2):
-    """Dynamic frame with GMG-preconditioned inexact Newton-CG."""
+                   cg_iterations: int = 30, cg_tol: float = 1e-2,
+                   gravity_scale=1.0):
+    """Dynamic frame with GMG-preconditioned inexact Newton-CG.
+    `gravity_scale` (traced OK) scales the gravity load — see
+    sim.lattice.step_to_tol."""
     inv_dt = 1.0 / dyn.dt
     x_old = st.x
     v = st.v * dyn.damping
@@ -452,13 +455,15 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
         return a[:shape[0], :shape[1], :shape[2]]
 
     def resid(xx):
-        return scene.dyn_force(xx, x_tilde, inv_dt, use_pallas=mg.use_pallas)
+        return scene.dyn_force(xx, x_tilde, inv_dt, use_pallas=mg.use_pallas,
+                               gravity_scale=gravity_scale)
 
     vmask3 = scene.vert_mask[..., None]
 
     def ie_energy(xe):
         # implicit-Euler incremental potential (same rescue as step_to_tol)
-        e = scene.total_energy(xe, mg.use_pallas)
+        e = scene.total_energy(xe, mg.use_pallas,
+                               gravity_scale=gravity_scale)
         di = (xe - x_tilde) * vmask3
         return e + 0.5 * inv_dt * inv_dt * jnp.sum(
             scene.mass[..., None] * di * di)
