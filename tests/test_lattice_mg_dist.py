@@ -115,3 +115,29 @@ def test_dist_mg_dynamic_step_matches_single():
     assert float(f2) <= 1e-4
     np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
                                atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(KITTEN),
+                    reason="reference assets not available")
+def test_dist_mg_kitten_quasistatic_solve_matches_single():
+    """Distributed GMG quasi-static SOLVE on an irregular voxelized OBJ
+    (VERDICT r3 next #5 — the prior irregular-mask distributed evidence was
+    build-only): the dx=0.04 kitten on a 4-device mesh. The fine level must
+    be genuinely z-sharded (not silently replicated by the plane gate), and
+    the result must match the single-chip solver."""
+    m = meshlib.load_hex_mesh(KITTEN, 0.04, normalize=True)
+    scene = LatticeScene(m)
+    mesh4 = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("sp",))
+    mg_d = DistLatticeMG(scene, mesh4, n_levels=2, dt=None)
+    assert tuple(mg_d.level_specs[0]) == (None, None, "sp"), \
+        "fine level must be sharded for this test to prove anything"
+    x2, k2, f2 = jax.jit(lambda xx: quasistatic_to_tol_mg(
+        scene, mg_d, xx, tol=1e-4, max_newton=60))(scene.x0)
+    assert float(np.asarray(f2)) <= 1e-4
+
+    mg_s = LatticeMG(scene, n_levels=2, dt=None, use_pallas=False)
+    x1, k1, f1 = jax.jit(lambda xx: quasistatic_to_tol_mg(
+        scene, mg_s, xx, tol=1e-4, max_newton=60))(scene.x0)
+    # same equilibrium (||f||inf <= 1e-4 bounds positions to ~1e-3 at
+    # control_mag=100; see test_kitten_latmg_quasistatic_solve)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=5e-3)
