@@ -51,6 +51,11 @@ def main():
                          "cycle divergent under iteration)")
     ap.add_argument("--beam", default="16,16,72",
                     help="17x17x73 = 21k verts, reference demo scale")
+    ap.add_argument("--project-rows", action="store_true",
+                    help="hard partition-of-unity projection after every "
+                         "update (rigid modes transfer exactly by "
+                         "construction; the soft penalty alone lets rows "
+                         "drift at scale)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or os.path.join(
@@ -66,27 +71,31 @@ def main():
     tr = InterpTrainer(scene, TrainInterpConfig(mode=args.mode, loss="l2",
                                                 optimizer=args.optimizer,
                                                 lr=args.lr,
-                                                unroll=args.unroll))
+                                                unroll=args.unroll,
+                                                project_rows=args.project_rows))
     t0 = time.time()
     # the trainer's default dispatch_chunk scales with unroll to stay under
     # the TPU worker's ~5-min single-dispatch kill (~0.15 s/cycle at 21k)
     hist = tr.train(args.iterations)
     # force readback through the axon tunnel before timing
     t1 = time.time()
+    h = tr.history   # decomposed: loss == data + weight*penalty per step
     print(f"train: {args.iterations} steps in {t1 - t0:.1f}s "
-          f"(loss {hist[0]:.4e} -> {hist[-1]:.4e})", flush=True)
+          f"(loss {hist[0]:.4e} -> {hist[-1]:.4e}; "
+          f"data {h['data'][0]:.4e} -> {h['data'][-1]:.4e}; "
+          f"penalty {h['penalty'][0]:.4e} -> {h['penalty'][-1]:.4e})",
+          flush=True)
+    print("fixed-probe residual series (bare trained cycle iterated from "
+          "one held-out state):", flush=True)
+    for s, r in zip(h["probe_steps"], h["probe_resid"]):
+        print(f"  step {int(s):5d}: {r:.4e}", flush=True)
     tr.save(f"{out}_weights.npz")
+    np.savez(f"{out}_history.npz", **h)
 
-    # split the final loss: the row-norm penalty scales with coarse-row
-    # count (~3k at this size) and can dominate the TOTAL while the data
-    # term (the actual cycle quality) improves — read the compare series,
-    # not the raw loss history, as the quality signal
-    from fem_simulation_tpu.models.train_interp import row_norm_penalty
-    t = scene.params["transfers"][0]
-    n_rows = (scene.level(0) if args.mode == "P" else scene.level(1)).n_verts
-    pen = float(row_norm_penalty(t, tr.w, n_rows, args.mode))
-    print(f"final row-norm penalty: {pen:.3e} (weighted "
-          f"{tr.cfg.row_norm_weight * pen:.3e} of loss {hist[-1]:.3e})",
+    # rigid-mode transfer: trained rows must still (approximately) partition
+    # unity or coarse corrections misrepresent translations
+    rigid = tr.rigid_transfer_error()
+    print(f"rigid-mode transfer error (max |row_sum - 1|): {rigid:.3e}",
           flush=True)
 
     # reference-protocol compare: the BARE trained cycle iterated
@@ -100,6 +109,13 @@ def main():
     log.log(0, n_verts=n, iterations=args.iterations,
             seconds=t1 - t0, loss_first=float(hist[0]),
             loss_last=float(hist[-1]),
+            data_first=float(h["data"][0]), data_last=float(h["data"][-1]),
+            penalty_first=float(h["penalty"][0]),
+            penalty_last=float(h["penalty"][-1]),
+            probe_first=float(h["probe_resid"][0]),
+            probe_last=float(h["probe_resid"][-1]),
+            rigid_err=rigid,
+            project_rows=int(args.project_rows),
             classic_last=float(cmp["classic"][-1]),
             trained_last=float(cmp["trained"][-1]))
     log.close()

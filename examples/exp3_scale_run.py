@@ -40,11 +40,18 @@ def main():
     ap.add_argument("--beam", default="16,16,72",
                     help="17x17x73 = 21k verts, reference demo scale")
     ap.add_argument("--multilevel", action="store_true")
+    ap.add_argument("--loss", default="mse", choices=["mse", "residual"],
+                    help="mse = reference parity (||pred - x*||^2); "
+                         "residual = train on the implicit-step force "
+                         "residual of the prediction (the eval metric) — "
+                         "the r3 gap diagnosis ablation")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "results", "exp3_scale")
+        "results", "exp3_scale"
+        + ("_ml" if args.multilevel else "")
+        + ("_resloss" if args.loss == "residual" else ""))
 
     shape = tuple(int(s) for s in args.beam.split(","))
     m = meshlib.beam(*shape, dx=0.05)
@@ -52,7 +59,8 @@ def main():
     n = scene.level(0).n_verts
     print(f"mesh: beam{shape} = {n} verts", flush=True)
 
-    cfg = TrainSolverConfig(frames=args.frames, train_times=args.iterations)
+    cfg = TrainSolverConfig(frames=args.frames, train_times=args.iterations,
+                            loss=args.loss)
     tr = SolverNetTrainer(scene, cfg, multilevel=args.multilevel,
                           predict_delta=True)
     t0 = time.time()
