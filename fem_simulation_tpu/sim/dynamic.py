@@ -51,8 +51,10 @@ def _dyn_force(scene: Scene, params, st: DynState, x, x_tilde, inv_dt,
     """Full implicit-Euler residual force at x (canonical order)."""
     p0 = params["levels"][0]
     mat = scene.material
-    f = elastic.force(x, p0["hexes"], p0["det"], p0["g"],
-                      mat.lame_mu, mat.lame_la, x.shape[0])
+    # scatter-free assembly (exact parity with elastic.force, tested)
+    f = elastic.force_gather(x, p0["hexes"], p0["det"], p0["g"],
+                             mat.lame_mu, mat.lame_la,
+                             p0["vc_idx"], p0["vc_mask"], x.shape[0])
     f = f + gravity_scale * elastic.gravity_force(
         p0["mass"], mat.gravity, x.shape[0], x.dtype)
     f = f + elastic.pin_force(x, p0["pin_mask"], p0["pin_pos"], mat.control_mag)
@@ -149,7 +151,8 @@ def step_to_tol(scene: Scene, params, st: DynState,
                 dyn: DynamicsConfig = DynamicsConfig(),
                 tol: float = 1e-4, max_newton: int = 20,
                 use_multigrid: bool = True, matrix_free: bool = False,
-                use_fas: bool = False, gravity_scale=1.0):
+                use_fas: bool = False, gravity_scale=1.0,
+                dt=None, damping=None, x_init=None):
     """One frame with Newton iterations until ||f||_inf <= tol (device loop).
 
     This is the benchmark path (BASELINE.md metric). Returns (state, n_newton,
@@ -163,12 +166,25 @@ def step_to_tol(scene: Scene, params, st: DynState,
     use_fas=True replaces each Newton linear solve with one nonlinear
     two-level FAS cycle on the dynamic residual (fas_dynamic_cycle; reference
     exp1/simulation/object.py:1175). Needs a >=2-level scene.
+
+    `dt`/`damping` override the config values and may be TRACED scalars —
+    nothing on this path bakes dt into static tables, so frame_adaptive can
+    substep at dt/2^h inside one compiled program.
+
+    `x_init` (optional) seeds the Newton iteration at a caller-provided
+    state instead of the inertia predictor x_tilde — e.g. a learned-solver
+    prediction (exp3 warm start; the inertia anchor stays the predictor, so
+    the solved PROBLEM is identical and only the starting point changes).
     """
-    inv_dt = 1.0 / dyn.dt
+    dt = dyn.dt if dt is None else dt
+    damping = dyn.damping if damping is None else damping
+    inv_dt = 1.0 / dt
     x_old = st.x
-    v = st.v * dyn.damping
-    x = st.x + v * dyn.dt
+    v = st.v * damping
+    x = st.x + v * dt
     x_tilde = x
+    if x_init is not None:
+        x = x_init
     op = scene.make_op(0, params)
 
     def resid(xx):
@@ -187,15 +203,30 @@ def step_to_tol(scene: Scene, params, st: DynState,
             return (xx, k + 1, fn, jnp.minimum(fmin, fn))
         f = resid(xx)
         if matrix_free:
-            _, jvp_fn = jax.linearize(resid, xx)
-            # block-Jacobi preconditioner: elastic diag + control + mass
-            diag = elastic.hessian_diag(xx, p0["hexes"], p0["det"], p0["g"],
-                                        mat.lame_mu, mat.lame_la, xx.shape[0])
+            # closed-form HVP + scatter-free gather assembly
+            # (ops.elastic.hvp_gather): replaces jax.linearize through the
+            # force — the linearized force re-traces the gather/scatter
+            # pair, and the TPU scatter with duplicate indices serializes
+            # (VERDICT r3 missing #4). The non-elastic residual terms are
+            # linear with constant diagonal, added analytically below.
             ctrl = (mat.control_mag * jnp.maximum(p0["pin_mask"], st.drag_mask)
                     + p0["mass"] * inv_dt * inv_dt)
+
+            def matvec(p):
+                hp = elastic.hvp_gather(
+                    xx, p, p0["hexes"], p0["det"], p0["g"],
+                    mat.lame_mu, mat.lame_la,
+                    p0["vc_idx"], p0["vc_mask"], xx.shape[0])
+                return hp + ctrl[:, None] * p
+
+            # block-Jacobi preconditioner: elastic diag + control + mass
+            diag = elastic.hessian_diag_gather(
+                xx, p0["hexes"], p0["det"], p0["g"],
+                mat.lame_mu, mat.lame_la,
+                p0["vc_idx"], p0["vc_mask"], xx.shape[0])
             diag = diag + ctrl[:, None, None] * jnp.eye(3, dtype=xx.dtype)
             minv = lambda r: ell.solve3x3(diag, r)
-            dx = cgmod.pcg_operator(lambda p: -jvp_fn(p), minv, f,
+            dx = cgmod.pcg_operator(matvec, minv, f,
                                     iterations=scene.solver.pcg_iterations,
                                     tol=scene.solver.pcg_tol)
         elif use_multigrid:
@@ -225,6 +256,57 @@ def step_to_tol(scene: Scene, params, st: DynState,
         (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
     return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
+
+
+def frame_adaptive(scene: Scene, params, st: DynState,
+                   dyn: DynamicsConfig = DynamicsConfig(),
+                   tol: float = 1e-4, max_newton: int = 20,
+                   use_multigrid: bool = True, matrix_free: bool = False,
+                   use_fas: bool = False, max_halvings: int = 3,
+                   gravity_scale=1.0):
+    """step_to_tol with ADAPTIVE TIME SUBSTEPPING on the unstructured path
+    (see sim.lattice.frame_adaptive for the protocol and rationale): a frame
+    whose Newton budget exits above tol — or diverges, which
+    newton_exit_norm maps to +inf — is redone from the original state with
+    2^h substeps of dt/2^h each, up to 2^max_halvings. Implicit Euler's
+    solve gets strictly easier as the m/dt^2 proximal term grows, so every
+    frame converges while advancing exactly dyn.dt of physical time.
+    Returns (state, max Newton over accepted substeps, worst substep exit
+    norm, n_substeps)."""
+    def run_at(n_sub):
+        n_f = n_sub.astype(st.x.dtype)
+        dt = dyn.dt / n_f
+        damp = dyn.damping ** (1.0 / n_f)
+
+        def body(c):
+            s, i, kmax, fworst = c
+            s2, k, fn = step_to_tol(scene, params, s, dyn, tol, max_newton,
+                                    use_multigrid, matrix_free, use_fas,
+                                    gravity_scale=gravity_scale,
+                                    dt=dt, damping=damp)
+            return (s2, i + 1, jnp.maximum(kmax, k),
+                    jnp.maximum(fworst, fn))
+
+        s, _, kmax, fworst = jax.lax.while_loop(
+            lambda c: (c[1] < n_sub) & (c[3] <= tol),
+            body, (st, jnp.int32(0), jnp.int32(0),
+                   jnp.zeros((), st.x.dtype)))
+        return s, kmax, fworst
+
+    def cond(c):
+        h, _, _, fworst, _ = c
+        return (fworst > tol) & (h <= max_halvings)
+
+    def body(c):
+        h = c[0]
+        n_sub = jnp.int32(1) << h
+        s, kmax, fworst = run_at(n_sub)
+        return (h + 1, s, kmax, fworst, n_sub)
+
+    _, s, kmax, fworst, n_sub = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), st, jnp.int32(0),
+                     jnp.full((), jnp.inf, st.x.dtype), jnp.int32(1)))
+    return s, kmax, fworst, n_sub
 
 
 class DynamicSim:

@@ -606,7 +606,8 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                        cg_tol: float = 1e-2, use_pallas=None,
                        line_search: bool = True,
                        load_steps: int | str = 1,
-                       return_trace: bool = False):
+                       return_trace: bool = False,
+                       cg_forcing: str | None = None):
     """Quasi-static Newton to ||f||_inf <= tol on the lattice (the fast-path
     equivalent of QuasiStaticSim.newton* for lattice-friendly meshes): same
     machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn).
@@ -621,7 +622,14 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
     load step; the returned k sums all stages.
 
     load_steps="auto" uses adaptive_continuation instead of a fixed
-    schedule — no hand-tuned K, rejected stages halve the increment."""
+    schedule — no hand-tuned K, rejected stages halve the increment.
+
+    cg_forcing="ew" replaces the fixed inner CG tolerance with the
+    Eisenstat-Walker adaptive forcing term (solvers.cg.ew_eta): loose inner
+    solves while Newton is far from the solution, tight only near
+    convergence — cuts the oversolved early/late CG iterations a fixed
+    tolerance pays for (measured per-Newton PCG trace on the kitten:
+    [31, 22, 5, 5, 17, 18, 31] at fixed eta=0.1)."""
     pallas = _use_pallas(use_pallas)
     mat = scene.material
 
@@ -635,7 +643,7 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
 
     def solve_at(x0, gs):
         def body(c):
-            xx, k, fn_prev, fmin = c
+            xx, k, fn_prev, fmin, eta = c
             f = resid(xx, gs)
             if pallas:
                 hvp = scene.elastic_hvp_fn(xx, True)
@@ -647,18 +655,24 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                 matvec = lambda p: -jvp_fn(p)
             diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
             minv = lambda r: ell.solve3x3(diag, r) * vmask3
+            # cg_forcing="ew": Eisenstat-Walker adaptive inner tolerance
+            # (pcg's tol is relative on ||r||^2, hence eta^2)
+            tol_rr = eta * eta if cg_forcing == "ew" else cg_tol
             dx = cgmod.pcg_operator(matvec, minv, f,
-                                    iterations=cg_iterations, tol=cg_tol)
+                                    iterations=cg_iterations, tol=tol_rr)
             xx, fn = newton_update(
                 xx, f, dx, vmask3, fn_prev,
                 lambda xe: scene.total_energy(xe, pallas, gravity_scale=gs),
                 lambda xe: ell.inf_norm(resid(xe, gs)), line_search)
-            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
+            if cg_forcing == "ew":
+                eta = cgmod.ew_eta(fn, fn_prev)
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn), eta)
 
         fn0 = ell.inf_norm(resid(x0, gs))
-        xo, k, fn, fmin = jax.lax.while_loop(
-            cgmod.newton_cond(tol, max_newton), body,
-            (x0, jnp.int32(0), fn0, fn0))
+        cond4 = cgmod.newton_cond(tol, max_newton)
+        xo, k, fn, fmin, _ = jax.lax.while_loop(
+            lambda c: cond4(c[:4]), body,
+            (x0, jnp.int32(0), fn0, fn0, jnp.asarray(0.5, x0.dtype)))
         return xo, k, cgmod.newton_exit_norm(fn, fmin)
 
     return _run_load_schedule(solve_at, x, tol, max_newton, load_steps,

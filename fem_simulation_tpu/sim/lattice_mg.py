@@ -77,6 +77,14 @@ class LatticeMG:
         self.spd_smoother = spd_smoother
         self.chebyshev = chebyshev
         self.use_pallas = _use_pallas(use_pallas)
+        # dt baked into the hierarchy ctrl diagonals (None = quasi-static
+        # hierarchy, no inertia term). A hierarchy built with dt=None can
+        # still serve DYNAMIC solves: linearize(inv_dt=...) adds the
+        # inv_dt^2 * restricted-mass term per level at solve time — the
+        # restriction is linear, so ctrl(dt) == ctrl_pin + inv_dt^2 * mass
+        # exactly. This is what lets frame_adaptive_mg substep a frame at a
+        # TRACED dt inside one compiled program.
+        self.build_dt = dt
         mat = scene.material
 
         # z_multiple == 1 (default): pad the vertex grid to odd dims in every
@@ -232,6 +240,16 @@ class LatticeMG:
         + halo-exchange wrapper around the same fused Pallas kernels, so
         the distributed MG no longer forfeits the Pallas hot loop
         (VERDICT r2 weak #3 / next #4)."""
+        if li == 0 and self.use_pallas:
+            # Fine level: route through the SCENE's elastic kernels instead
+            # of a private dense-grid wrapper — the scene path carries the
+            # multi-box cover (ops/boxes.py), so a low-fill shape (the
+            # kitten covers at 0.57) stops paying dense-bbox tile padding
+            # in every V-cycle smoothing matvec, exactly as the dynamic
+            # stepper already does. Level 0's cell mask IS the scene's
+            # (padding only extends the grid), so the operators agree;
+            # the pad ring has vert_mask 0 and is masked out.
+            return self._fine_matvec_diag_scene(lvl, x_l)
         from ..ops import boxes as boxlib
         mat = self.scene.material
         # Grid-axis permutation before the kernel, exactly like the lattice
@@ -301,14 +319,42 @@ class LatticeMG:
                 mat.lame_mu, mat.lame_la)
         return matvec, diag
 
+    def _fine_matvec_diag_scene(self, lvl, x_pad):
+        """Level-0 (matvec, diag) via LatticeScene.elastic_hvp_fn /
+        elastic_diag on the unpadded scene grid (box cover + lane
+        permutation + VMEM chunking included), padded back to the MG grid."""
+        sc = self.scene
+        sx, sy, sz = sc.vert_mask.shape
+        px, py, pz = lvl.vert_mask.shape
+
+        def pad(a):
+            return jnp.pad(a, [(0, px - sx), (0, py - sy), (0, pz - sz)]
+                           + [(0, 0)] * (a.ndim - 3))
+
+        x = x_pad[:sx, :sy, :sz]
+        hvp = sc.elastic_hvp_fn(x, True)
+        vmask3 = lvl.vert_mask[..., None]
+
+        def matvec(p_pad, hvp=hvp, lvl=lvl, vmask3=vmask3):
+            hp = hvp(p_pad[:sx, :sy, :sz])
+            return (pad(hp) + lvl.ctrl[..., None] * p_pad) * vmask3
+
+        diag = pad(sc.elastic_diag(x, True))
+        return matvec, diag
+
     # -- per-Newton linearization ------------------------------------------
-    def linearize(self, x_pad):
+    def linearize(self, x_pad, inv_dt=None):
         """Build per-level (matvec, diag, vmask, lmax) at the current fine
         positions. lmax (Chebyshev upper bound for D^{-1}A) is estimated HERE,
         once per Newton linearization, and carried — NOT re-estimated inside
         every smoothing application.
 
         x_pad: (X, Y, Z, 3) on the padded fine lattice.
+        inv_dt: optional (traced OK) 1/dt adding the implicit-Euler inertia
+        term inv_dt^2 * mass to every level's ctrl diagonal at solve time.
+        Only meaningful on a hierarchy built with dt=None (whose baked ctrl
+        is pin-only); lets one compiled program solve at a data-dependent dt
+        (adaptive time substepping, frame_adaptive_mg).
         """
         ops = []
         x_l = x_pad
@@ -316,7 +362,17 @@ class LatticeMG:
             x_l = self.constrain(li, x_l)
             vmask = lvl.vert_mask[..., None]
             matvec, diag = self._level_matvec_diag(li, lvl, x_l)
-            diag = diag + (lvl.ctrl + (1.0 - lvl.vert_mask))[..., None, None] \
+            ctrl = lvl.ctrl
+            if inv_dt is not None:
+                # restricted mass * inv_dt^2 == the conservative restriction
+                # of the fine mass/dt^2 term (restrict_lat is linear)
+                extra = lvl.mass * (inv_dt * inv_dt)
+                ctrl = ctrl + extra
+                mv0 = matvec
+
+                def matvec(p, mv0=mv0, extra=extra, vmask=vmask):
+                    return mv0(p) + extra[..., None] * p * vmask
+            diag = diag + (ctrl + (1.0 - lvl.vert_mask))[..., None, None] \
                 * jnp.eye(3, dtype=x_pad.dtype)
             # SPD-project the smoother blocks (reference spd_matrix33f): at
             # large deformation StVK diagonal blocks go indefinite and a
@@ -432,14 +488,28 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
                    dyn: DynamicsConfig = DynamicsConfig(),
                    tol: float = 1e-4, max_newton: int = 20,
                    cg_iterations: int = 30, cg_tol: float = 1e-2,
-                   gravity_scale=1.0):
+                   gravity_scale=1.0, dt=None, damping=None):
     """Dynamic frame with GMG-preconditioned inexact Newton-CG.
     `gravity_scale` (traced OK) scales the gravity load — see
-    sim.lattice.step_to_tol."""
-    inv_dt = 1.0 / dyn.dt
+    sim.lattice.step_to_tol.
+
+    `dt`/`damping` override the config values and may be TRACED scalars
+    (frame_adaptive_mg substeps at dt/2^h inside one compiled program) —
+    this requires `mg` built with dt=None, so the per-level inertia term
+    can be added at solve time (LatticeMG.linearize inv_dt)."""
+    if dt is not None and mg.build_dt is not None:
+        raise ValueError("dt override needs LatticeMG(..., dt=None): the "
+                         "hierarchy's baked ctrl already contains a mass/"
+                         "dt^2 term at the build dt")
+    dt = dyn.dt if dt is None else dt
+    damping = dyn.damping if damping is None else damping
+    inv_dt = 1.0 / dt
+    # a dt=None hierarchy carries no inertia in its ctrl; add it per level
+    # inside linearize (exact — restriction is linear)
+    lin_inv_dt = inv_dt if mg.build_dt is None else None
     x_old = st.x
-    v = st.v * dyn.damping
-    x = st.x + v * dyn.dt
+    v = st.v * damping
+    x = st.x + v * dt
     x_tilde = x
 
     shape = scene.vert_mask.shape
@@ -471,7 +541,7 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
     def body(c):
         xx, k, fn_prev, fmin = c
         f = resid(xx)
-        ops = mg.linearize(pad(xx))
+        ops = mg.linearize(pad(xx), inv_dt=lin_inv_dt)
 
         def matvec(p):
             return ops[0][0](p)
@@ -504,6 +574,58 @@ def step_to_tol_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
         (x, jnp.int32(0), fn0, fn0))
     v = (x - x_old) * inv_dt
     return st._replace(x=x, v=v), k, cgmod.newton_exit_norm(fn, fmin)
+
+
+def frame_adaptive_mg(scene: LatticeScene, mg: LatticeMG, st: LatState,
+                      dyn: DynamicsConfig = DynamicsConfig(),
+                      tol: float = 1e-4, max_newton: int = 20,
+                      cg_iterations: int = 30, cg_tol: float = 1e-2,
+                      max_halvings: int = 3, gravity_scale=1.0):
+    """step_to_tol_mg with ADAPTIVE TIME SUBSTEPPING (see
+    sim.lattice.frame_adaptive — same protocol): when any substep of the
+    frame exits its Newton budget above tol (or diverges, which
+    newton_exit_norm maps to +inf), the WHOLE frame is redone from the
+    original state at dt/2^h, up to 2^max_halvings substeps. Requires `mg`
+    built with dt=None (the traced-dt inertia term is added per level
+    inside linearize). Returns (state, max Newton over accepted substeps,
+    worst substep exit norm, n_substeps)."""
+    if mg.build_dt is not None:
+        raise ValueError("frame_adaptive_mg needs LatticeMG(..., dt=None)")
+
+    def run_at(n_sub):
+        n_f = n_sub.astype(st.x.dtype)
+        dt = dyn.dt / n_f
+        damp = dyn.damping ** (1.0 / n_f)
+
+        def body(c):
+            s, i, kmax, fworst = c
+            s2, k, fn = step_to_tol_mg(scene, mg, s, dyn, tol, max_newton,
+                                       cg_iterations, cg_tol,
+                                       gravity_scale=gravity_scale,
+                                       dt=dt, damping=damp)
+            return (s2, i + 1, jnp.maximum(kmax, k),
+                    jnp.maximum(fworst, fn))
+
+        s, _, kmax, fworst = jax.lax.while_loop(
+            lambda c: (c[1] < n_sub) & (c[3] <= tol),
+            body, (st, jnp.int32(0), jnp.int32(0),
+                   jnp.zeros((), st.x.dtype)))
+        return s, kmax, fworst
+
+    def cond(c):
+        h, _, _, fworst, _ = c
+        return (fworst > tol) & (h <= max_halvings)
+
+    def body(c):
+        h = c[0]
+        n_sub = jnp.int32(1) << h
+        s, kmax, fworst = run_at(n_sub)
+        return (h + 1, s, kmax, fworst, n_sub)
+
+    _, s, kmax, fworst, n_sub = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), st, jnp.int32(0),
+                     jnp.full((), jnp.inf, st.x.dtype), jnp.int32(1)))
+    return s, kmax, fworst, n_sub
 
 
 def _solve_level_quasistatic(mg: LatticeMG, li: int, x0, tol, max_newton,
@@ -676,7 +798,8 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
                           cg_iterations: int = 30, cg_tol: float = 1e-2,
                           line_search: bool = True,
                           load_steps: int | str = 1,
-                          return_trace: bool = False):
+                          return_trace: bool = False,
+                          cg_forcing: str | None = None):
     """Quasi-static Newton with GMG-preconditioned CG on the lattice.
 
     This is where multigrid earns its keep (the reference's central claim,
@@ -710,12 +833,15 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
 
     def solve_at(x0, gs):
         def body(c):
-            xx, k, fn_prev, fmin = c
+            xx, k, fn_prev, fmin, eta = c
             f = resid(xx, gs)
             ops = mg.linearize(pad(xx))
+            # cg_forcing="ew": Eisenstat-Walker adaptive inner tolerance
+            # (see lattice.quasistatic_to_tol; pcg tol is on ||r||^2)
+            tol_rr = eta * eta if cg_forcing == "ew" else cg_tol
             dx = cgmod.pcg_operator(ops[0][0], lambda r: mg.vcycle(ops, r),
                                     pad(f), iterations=cg_iterations,
-                                    tol=cg_tol, flexible=mg.coarse_cg > 0)
+                                    tol=tol_rr, flexible=mg.coarse_cg > 0)
             vmask3 = scene.vert_mask[..., None]
             from .lattice import newton_update
             xx, fn = newton_update(
@@ -723,12 +849,15 @@ def quasistatic_to_tol_mg(scene: LatticeScene, mg: LatticeMG, x,
                 lambda xe: scene.total_energy(xe, mg.use_pallas,
                                               gravity_scale=gs),
                 lambda xe: ell.inf_norm(resid(xe, gs)), line_search)
-            return (xx, k + 1, fn, jnp.minimum(fmin, fn))
+            if cg_forcing == "ew":
+                eta = cgmod.ew_eta(fn, fn_prev)
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn), eta)
 
         fn0 = ell.inf_norm(resid(x0, gs))
-        xo, k, fn, fmin = jax.lax.while_loop(
-            cgmod.newton_cond(tol, max_newton), body,
-            (x0, jnp.int32(0), fn0, fn0))
+        cond4 = cgmod.newton_cond(tol, max_newton)
+        xo, k, fn, fmin, _ = jax.lax.while_loop(
+            lambda c: cond4(c[:4]), body,
+            (x0, jnp.int32(0), fn0, fn0, jnp.asarray(0.5, x0.dtype)))
         return xo, k, cgmod.newton_exit_norm(fn, fmin)
 
     from .lattice import _run_load_schedule

@@ -59,6 +59,26 @@ def newton_exit_norm(fn, fmin=None, blowup: float = NEWTON_BLOWUP):
     return jnp.where(bad, jnp.inf, fn)
 
 
+def ew_eta(fn_new, fn_old, gamma: float = 0.9, alpha: float = 2.0,
+           floor: float = 0.1, cap: float = 0.8):
+    """Next Eisenstat-Walker forcing term (choice 2): eta_{k+1} =
+    gamma * (||F_{k+1}|| / ||F_k||)^alpha, clamped to [floor, cap].
+
+    Inexact Newton only needs the linear solve as accurate as the nonlinear
+    model is trustworthy; a FIXED inner tolerance oversolves far from the
+    solution (measured on the kitten latmg: per-Newton PCG iterations
+    [31, 22, 5, 5, 17, 18, 31] at fixed eta=0.1 — the capped first steps
+    buy Newton progress the next linearization throws away). Callers pass
+    eta^2 as pcg_operator's tol (which is relative on ||r||^2).
+
+    The floor matches the fixed default (cg_tol=1e-2 on ||r||^2 == eta=0.1)
+    so E-W never solves TIGHTER than the tuned fixed setting — an earlier
+    floor of 0.01 made near-convergence steps 100x stricter than baseline
+    and gave back half the early-step savings (kitten A/B)."""
+    r = jnp.where(fn_old > 0.0, fn_new / jnp.maximum(fn_old, 1e-30), 1.0)
+    return jnp.clip(gamma * r ** alpha, floor, cap)
+
+
 def _normalize_rhs(b):
     """Scale the RHS to unit norm so the solvers' absolute small-denominator
     guards (pap >= eps, ||r||^2 > EPSILON) are scale-free; returns

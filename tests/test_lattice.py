@@ -106,6 +106,60 @@ def test_lattice_mg_step(meshes):
     np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x), atol=1e-3)
 
 
+def test_lattice_mg_traced_dt_matches_baked(meshes):
+    """A dt=None hierarchy + linearize(inv_dt) must reproduce the baked-dt
+    hierarchy exactly: restriction is linear, so restricting (pin + m/dt^2)
+    equals restricting pin and adding inv_dt^2 * restricted mass. This is
+    the identity frame_adaptive_mg's traced-dt substepping rests on."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene
+    from fem_simulation_tpu.config import DynamicsConfig
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
+    scene = LatticeScene(meshes)
+    dyn = DynamicsConfig()
+    mg_baked = LatticeMG(scene, n_levels=2, dt=dyn.dt)
+    mg_none = LatticeMG(scene, n_levels=2, dt=None)
+    st = scene.init_state()
+    st1, k1, f1 = jax.jit(
+        lambda s: step_to_tol_mg(scene, mg_baked, s, tol=1e-4))(st)
+    st2, k2, f2 = jax.jit(
+        lambda s: step_to_tol_mg(scene, mg_none, s, tol=1e-4,
+                                 dt=jnp.float32(dyn.dt)))(st)
+    assert float(f2) <= 1e-4
+    assert int(k1) == int(k2)
+    np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
+                               atol=1e-6)
+
+
+def test_adaptive_substepping_mg_converges_violent_kick():
+    """frame_adaptive_mg: the violent-kick protocol of
+    test_adaptive_substepping_converges_violent_kick on the GMG-
+    preconditioned dynamic path (VERDICT r3 next #7 — previously only the
+    single-level lattice stepper could substep)."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG, frame_adaptive_mg
+    m = meshlib.beam(3, 3, 12, dx=0.05)
+    sc = LatticeScene(m)
+    mg = LatticeMG(sc, n_levels=2, dt=None, use_pallas=False)
+    st = sc.init_state()
+    x = np.asarray(st.x)
+    r = x - x.reshape(-1, 3).mean(0)
+    omega = np.array([18.0, 0.0, 6.0], np.float32)
+    v = np.cross(np.broadcast_to(omega, r.shape), r).astype(np.float32)
+    st = st._replace(v=jnp.asarray(v) * sc.vert_mask[..., None])
+    # the GMG step converges this kick within ~25 Newton even at full dt;
+    # a tight per-substep budget is what forces the halving loop to engage
+    # (the contract under test is the redo machinery, not MG's strength)
+    frame = jax.jit(lambda s: frame_adaptive_mg(sc, mg, s, tol=1e-4,
+                                                max_newton=6,
+                                                max_halvings=4))
+    n_subs = []
+    for _ in range(6):
+        st, k, fn, n_sub = frame(st)
+        assert float(fn) <= 1e-4, "every adaptive MG frame must converge"
+        n_subs.append(int(n_sub))
+    assert max(n_subs) > 1, "the kick must engage substepping"
+
+
 def test_lattice_transfers_adjoint():
     from fem_simulation_tpu.ops import stencil
     rng = np.random.default_rng(3)
@@ -172,6 +226,52 @@ def test_lattice_quasistatic(meshes):
     sim.newton_multigrid(60)
     x_can = stencil.field_from_lattice(x, scene.lat)
     np.testing.assert_allclose(np.asarray(x_can), np.asarray(sim.x), atol=2e-3)
+
+
+def test_mg_fine_level_scene_routing_matches_stencil():
+    """LatticeMG's level-0 operator routed through the scene's box-aware
+    elastic kernels (use_pallas=True — interpret mode on CPU) must equal
+    the XLA stencil operator: same HVP action, same diagonal. This is the
+    path that lets the V-cycle's fine smoothing ride the multi-box cover."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene
+    from fem_simulation_tpu.sim.lattice_mg import LatticeMG
+    m = meshlib.beam(3, 3, 18, dx=0.05)
+    sc = LatticeScene(m)
+    mg_p = LatticeMG(sc, n_levels=2, dt=None, use_pallas=True)
+    mg_x = LatticeMG(sc, n_levels=2, dt=None, use_pallas=False)
+    rng = np.random.default_rng(5)
+    shape = mg_p.levels[0].vert_mask.shape + (3,)
+    xp = jnp.pad(sc.x0, [(0, shape[0] - sc.x0.shape[0]),
+                         (0, shape[1] - sc.x0.shape[1]),
+                         (0, shape[2] - sc.x0.shape[2]), (0, 0)])
+    xp = xp + 0.02 * jnp.asarray(rng.normal(size=shape).astype(np.float32)) \
+        * mg_p.levels[0].vert_mask[..., None]
+    p = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    ops_p = mg_p.linearize(xp)
+    ops_x = mg_x.linearize(xp)
+    np.testing.assert_allclose(np.asarray(ops_p[0][0](p)),
+                               np.asarray(ops_x[0][0](p)),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ops_p[0][1]),
+                               np.asarray(ops_x[0][1]),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_lattice_quasistatic_ew_forcing(meshes):
+    """Eisenstat-Walker adaptive CG forcing (cg_forcing='ew') reaches the
+    same equilibrium as the fixed inner tolerance without degrading the
+    Newton count beyond a small margin (looser early solves can add a
+    Newton step or two; they must not derail convergence)."""
+    from fem_simulation_tpu.sim.lattice import LatticeScene, quasistatic_to_tol
+    scene = LatticeScene(meshes)
+    x1, k1, f1 = jax.jit(
+        lambda xx: quasistatic_to_tol(scene, xx, tol=1e-4))(scene.x0)
+    x2, k2, f2 = jax.jit(
+        lambda xx: quasistatic_to_tol(scene, xx, tol=1e-4,
+                                      cg_forcing="ew"))(scene.x0)
+    assert float(f2) <= 1e-4
+    assert int(k2) <= int(k1) + 5
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
 
 
 def test_pallas_hess_diag_matches(meshes):
