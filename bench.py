@@ -71,10 +71,11 @@ def main():
                          "(20 suffices through 66k verts; 131k+ needs more)")
     ap.add_argument("--adaptive-substep", action="store_true",
                     help="redo frames whose Newton budget misses tol at "
-                         "dt/2^h (sim.lattice.frame_adaptive) — violent "
-                         "free-swinging configs (e.g. the rocker pendulum) "
-                         "converge every frame instead of exiting at ~1e-2; "
-                         "--solver lattice dynamic only")
+                         "dt/2^h (frame_adaptive) — violent free-swinging "
+                         "configs (e.g. the rocker pendulum) converge every "
+                         "frame instead of exiting at ~1e-2; supported on "
+                         "every dynamic path (lattice, latmg, matfree/cg/"
+                         "mg/fas)")
     ap.add_argument("--amortized", action="store_true",
                     help="headline = total wall / frames of one scanned "
                          "dispatch (includes the ~33 ms tunnel dispatch and "
@@ -118,6 +119,12 @@ def main():
                          "fine corrector (deep bends), latmg = GMG-PCG fine "
                          "corrector; --load-steps applies at the coarsest "
                          "level only")
+    ap.add_argument("--cg-forcing", default=None, choices=["ew"],
+                    help="Eisenstat-Walker adaptive inner-CG tolerance for "
+                         "--quasistatic (loose solves far from the "
+                         "solution, tight near convergence; replaces the "
+                         "fixed cg_tol — cuts oversolved CG iterations on "
+                         "hard irregular meshes)")
     ap.add_argument("--load-steps", default=1,
                     type=lambda s: s if s == "auto" else int(s),
                     help="gravity-continuation increments for --quasistatic "
@@ -205,11 +212,17 @@ def main():
     if solver in ("lattice", "latmg"):
         st0 = lscene.init_state()
         if solver == "latmg":
-            from fem_simulation_tpu.sim.lattice_mg import LatticeMG, step_to_tol_mg
-            lmg = LatticeMG(lscene, n_levels=args.mg_levels,
-                            coarse_cg=args.mg_coarse_cg,
-                            spd_smoother=not args.mg_no_spd,
-                            use_pallas=False if args.no_pallas else None)
+            from fem_simulation_tpu.sim.lattice_mg import (
+                LatticeMG, step_to_tol_mg, frame_adaptive_mg)
+            lmg_kw = dict(n_levels=args.mg_levels,
+                          coarse_cg=args.mg_coarse_cg,
+                          spd_smoother=not args.mg_no_spd,
+                          use_pallas=False if args.no_pallas else None)
+            if args.adaptive_substep:
+                # dt=None hierarchy: the traced-substep inertia term is
+                # added per level inside linearize (frame_adaptive_mg)
+                lmg_kw["dt"] = None
+            lmg = LatticeMG(lscene, **lmg_kw)
         elif not args.no_pallas and not args.adaptive_substep:
             roofline = _make_roofline(lscene)
 
@@ -220,9 +233,14 @@ def main():
                 def body(st, gs):
                     cg = jnp.int32(0)
                     if solver == "latmg":
-                        st2, k, fn = step_to_tol_mg(
-                            lscene, lmg, st, tol=args.tol,
-                            max_newton=args.max_newton, gravity_scale=gs)
+                        if args.adaptive_substep:
+                            st2, k, fn, _ = frame_adaptive_mg(
+                                lscene, lmg, st, tol=args.tol,
+                                max_newton=args.max_newton, gravity_scale=gs)
+                        else:
+                            st2, k, fn = step_to_tol_mg(
+                                lscene, lmg, st, tol=args.tol,
+                                max_newton=args.max_newton, gravity_scale=gs)
                     elif args.adaptive_substep:
                         st2, k, fn, _ = latmod.frame_adaptive(
                             lscene, st, tol=args.tol, max_newton=args.max_newton,
@@ -249,11 +267,15 @@ def main():
             @jax.jit
             def run(p, st):
                 def body(st, gs):
-                    st2, k, fn = dynamic.step_to_tol(
-                        scene, p, st, tol=args.tol, max_newton=args.max_newton,
-                        use_multigrid=(solver == "mg"),
-                        matrix_free=(solver == "matfree"),
-                        use_fas=(solver == "fas"), gravity_scale=gs)
+                    kw = dict(tol=args.tol, max_newton=args.max_newton,
+                              use_multigrid=(solver == "mg"),
+                              matrix_free=(solver == "matfree"),
+                              use_fas=(solver == "fas"), gravity_scale=gs)
+                    if args.adaptive_substep:
+                        st2, k, fn, _ = dynamic.frame_adaptive(
+                            scene, p, st, **kw)
+                    else:
+                        st2, k, fn = dynamic.step_to_tol(scene, p, st, **kw)
                     return st2, (k, fn, jnp.int32(0))
                 return jax.lax.scan(body, st, gs_schedule(n))
             return run
@@ -523,12 +545,14 @@ def bench_quasistatic(args, m, pins=None):
             elif solver == "latmg":
                 x, k, fn = quasistatic_to_tol_mg(lscene, lmg, x, tol=args.tol,
                                                  max_newton=100,
-                                                 load_steps=args.load_steps)
+                                                 load_steps=args.load_steps,
+                                                 cg_forcing=args.cg_forcing)
             else:
                 x, k, fn = quasistatic_to_tol(
                     lscene, x, tol=args.tol, max_newton=100,
                     load_steps=args.load_steps,
-                    use_pallas=False if args.no_pallas else None)
+                    use_pallas=False if args.no_pallas else None,
+                    cg_forcing=args.cg_forcing)
             return carry, (k, fn)
         _, (ks, fns) = jax.lax.scan(body, 0.0, seeds)
         return ks, fns

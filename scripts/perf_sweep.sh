@@ -41,7 +41,12 @@ run --beam 32,32,1024 --max-newton 40 --frames 60
 if [ -d "$ASSETS" ]; then
   run --mesh "$ASSETS/kitten.obj" --dx 0.02
   run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
+  # tuned kitten MG: Eisenstat-Walker inner forcing + stronger coarse CG +
+  # multi-box cover riding the V-cycle's fine matvecs (r4)
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 32 --cg-forcing ew
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 32 --cg-forcing ew --box-threshold 0.6
   run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver lattice
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --box-threshold 0.6 --amortized
   run --mesh "$ASSETS/horse.obj" --dx 0.02 --amortized
   run --mesh "$ASSETS/rocker.obj" --dx 0.02 --amortized
 fi

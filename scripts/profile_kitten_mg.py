@@ -1,0 +1,182 @@
+"""Profile the kitten latmg quasi-static solve on the real TPU.
+
+VERDICT r3 weak #3 / next #4: latmg beats single-level by only 23% on the
+kitten despite 4.7x fewer Newton iterations — the V-cycle costs ~5x per
+Newton. This script decomposes that per-Newton cost into its parts
+(linearize incl. the lmax power iteration, the V-cycle itself, the fine
+HVP matvec) and records per-Newton PCG iteration counts, so the overhead
+can be attributed and cut rather than guessed at.
+
+Usage: python scripts/profile_kitten_mg.py [--mesh PATH] [--dx 0.02]
+"""
+import argparse
+import os
+import sys
+import time
+
+# repo root on sys.path (PYTHONPATH breaks the axon sitecustomize preload)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fem_simulation_tpu import mesh as meshlib
+from fem_simulation_tpu.sim.lattice import LatticeScene
+from fem_simulation_tpu.sim.lattice_mg import LatticeMG, quasistatic_to_tol_mg
+from fem_simulation_tpu.sim.lattice import quasistatic_to_tol
+from fem_simulation_tpu.solvers import cg as cgmod
+from fem_simulation_tpu.ops import ell
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])   # sync via readback
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="/root/reference/assets/objs/kitten.obj")
+    ap.add_argument("--dx", type=float, default=0.02)
+    ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--coarse-cg", type=int, default=8)
+    ap.add_argument("--cg-iterations", type=int, default=30)
+    ap.add_argument("--cg-tol", type=float, default=1e-2)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    m = meshlib.load_hex_mesh(args.mesh, args.dx, normalize=True)
+    ls = LatticeScene(m)
+    print(f"verts={m.n_verts} grid={ls.vert_mask.shape} fill={ls.fill:.2f}")
+    mg = LatticeMG(ls, n_levels=args.levels, dt=None, coarse_cg=args.coarse_cg)
+
+    shape = ls.vert_mask.shape
+    pshape = mg.pad_shape
+
+    def pad(a):
+        return jnp.pad(a, [(0, pshape[0] - shape[0]),
+                           (0, pshape[1] - shape[1]),
+                           (0, pshape[2] - shape[2])]
+                       + [(0, 0)] * (a.ndim - 3))
+
+    x0p = pad(ls.x0)
+    K = 50
+
+    # -- A: fine HVP matvec alone (ops built once, matvec scanned) ----------
+    @jax.jit
+    def run_matvec(xp, v):
+        ops = mg.linearize(xp)
+        mv = ops[0][0]
+
+        def body(p, _):
+            q = mv(p)
+            return q / jnp.maximum(jnp.sqrt(ell.vdot(q, q)), 1e-30), None
+        out, _ = jax.lax.scan(body, v, None, length=K)
+        return out
+
+    v0 = jnp.ones_like(x0p) * mg.levels[0].vert_mask[..., None]
+    t, _ = timeit(run_matvec, x0p, v0)
+    # warm-up call inside timeit includes linearize once; scan dominates
+    print(f"A fine matvec (incl 1 linearize amort): {t / K * 1e3:.3f} ms")
+
+    # -- B: one V-cycle, scanned --------------------------------------------
+    @jax.jit
+    def run_vcycle(xp, b):
+        ops = mg.linearize(xp)
+
+        def body(r, _):
+            z = mg.vcycle(ops, r)
+            return z / jnp.maximum(jnp.sqrt(ell.vdot(z, z)), 1e-30), None
+        out, _ = jax.lax.scan(body, b, None, length=K)
+        return out
+
+    t, _ = timeit(run_vcycle, x0p, v0)
+    print(f"B V-cycle (incl 1 linearize amort): {t / K * 1e3:.3f} ms")
+
+    # -- C: linearize alone, scanned (lmax power iter + diag + spd) ---------
+    @jax.jit
+    def run_linearize(xp):
+        def body(c, _):
+            ops = mg.linearize(xp + c * 0.0)
+            # keep lmax + diag alive; fold into a scalar dependency
+            s = sum(jnp.sum(o[1]) + (o[3] if o[3] is not None else 0.0)
+                    for o in ops)
+            return c + s * 1e-30, None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=10)
+        return out
+
+    t, _ = timeit(run_linearize, x0p)
+    print(f"C linearize (lmax power-it + diag + spd): {t / 10 * 1e3:.3f} ms")
+
+    # -- D: full solve with per-Newton PCG iteration counts ------------------
+    max_newton = 100
+    vmask3 = ls.vert_mask[..., None]
+
+    def resid(xx):
+        return ls.dyn_force(xx, xx, 0.0, use_pallas=mg.use_pallas)
+
+    @jax.jit
+    def solve(x):
+        def body(c):
+            xx, k, fn_prev, fmin, cg_iters = c
+            f = resid(xx)
+            ops = mg.linearize(pad(xx))
+            dx, it = cgmod.pcg_operator(
+                ops[0][0], lambda r: mg.vcycle(ops, r), pad(f),
+                iterations=args.cg_iterations, tol=args.cg_tol,
+                flexible=mg.coarse_cg > 0, return_iters=True)
+            from fem_simulation_tpu.sim.lattice import newton_update
+            xx, fn = newton_update(
+                xx, f, dx[:shape[0], :shape[1], :shape[2]], vmask3, fn_prev,
+                lambda xe: ls.total_energy(xe, mg.use_pallas),
+                lambda xe: ell.inf_norm(resid(xe)), True)
+            cg_iters = cg_iters.at[k].set(it)
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn), cg_iters)
+
+        fn0 = ell.inf_norm(resid(x))
+        cg0 = jnp.zeros((max_newton,), jnp.int32)
+        out = jax.lax.while_loop(
+            lambda c: cgmod.newton_cond(1e-4, max_newton)(c[:4]), body,
+            (x, jnp.int32(0), fn0, fn0, cg0))
+        return out[1], out[2], out[4]
+
+    t, (k, fn, cg_iters) = timeit(solve, ls.x0)
+    k = int(np.asarray(k))
+    cg_arr = np.asarray(cg_iters)[:k]
+    print(f"D full latmg solve: {t * 1e3:.1f} ms, newton={k}, "
+          f"fn={float(np.asarray(fn)):.2e}")
+    print(f"  per-Newton PCG iters: {cg_arr.tolist()}")
+    print(f"  total PCG iters: {int(cg_arr.sum())}")
+
+    # -- E: single-level baseline with cg counts ----------------------------
+    @jax.jit
+    def solve_sl(x):
+        return quasistatic_to_tol(ls, x, tol=1e-4, max_newton=100,
+                                  return_cg=True)
+
+    try:
+        t, out = timeit(solve_sl, ls.x0)
+        xs, ks, fns, cgs = out
+        print(f"E single-level solve: {t * 1e3:.1f} ms, "
+              f"newton={int(np.asarray(ks))}, cg_total={int(np.asarray(cgs))}")
+    except TypeError:
+        @jax.jit
+        def solve_sl2(x):
+            return quasistatic_to_tol(ls, x, tol=1e-4, max_newton=100)
+        t, out = timeit(solve_sl2, ls.x0)
+        print(f"E single-level solve: {t * 1e3:.1f} ms, "
+              f"newton={int(np.asarray(out[1]))}")
+
+
+if __name__ == "__main__":
+    main()
