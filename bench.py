@@ -150,11 +150,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    try:  # persistent compile cache: repeat runs skip the slow TPU compile
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from fem_simulation_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     if args.cloth is not None:
         if args.quasistatic or args.solver != "lattice" or args.pins != "top":

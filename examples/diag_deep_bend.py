@@ -19,8 +19,8 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from fem_simulation_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
 import numpy as np
 
 from fem_simulation_tpu import mesh as meshlib

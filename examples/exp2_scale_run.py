@@ -30,8 +30,8 @@ from fem_simulation_tpu.utils.viz import plot_convergence
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fem_simulation_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="p_hat", choices=["P", "p_hat"],
                     help="p_hat (default) trains the position-side "

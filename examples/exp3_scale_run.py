@@ -35,8 +35,8 @@ from fem_simulation_tpu.utils.viz import plot_convergence
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fem_simulation_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=20000)
     ap.add_argument("--frames", type=int, default=30)

@@ -12,6 +12,21 @@ import time
 import numpy as np
 
 
+def enable_compile_cache(cache_dir: str = "/tmp/jax_cache",
+                         min_compile_secs: float = 1.0):
+    """Persistent XLA compile cache: repeat runs of the same program skip
+    the slow TPU compile (first compile of a big while_loop program takes
+    minutes through the axon tunnel). Safe no-op where unsupported —
+    single source for every driver (bench.py, scripts/, examples/)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass
+
+
 def force_sync(tree):
     """Synchronize by reading one element of every leaf back to the host."""
     import jax

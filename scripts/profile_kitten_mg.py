@@ -52,8 +52,8 @@ def main():
     ap.add_argument("--cg-tol", type=float, default=1e-2)
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fem_simulation_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     m = meshlib.load_hex_mesh(args.mesh, args.dx, normalize=True)
     ls = LatticeScene(m)

@@ -39,8 +39,8 @@ def main():
     ap.add_argument("--beam", default="16,16,64")
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fem_simulation_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     from fem_simulation_tpu import mesh as meshlib
     from fem_simulation_tpu.config import SolverConfig
