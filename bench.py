@@ -44,7 +44,14 @@ def main():
                          "exp1/cloth_simulation, 64x64): ms per implicit "
                          "frame solved to tolerance; overrides every mesh "
                          "option")
-    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--frames", type=int, default=600,
+                    help="dynamic-bench scan length. The default grew 120 "
+                         "-> 600 when the fused single-launch PCG cut the "
+                         "2k-default frame under ~0.1 ms: the slope window "
+                         "(frames - frames/5) must carry device time well "
+                         "above the ~2-4 ms tunnel-dispatch jitter or the "
+                         "slope goes negative and the bench falls back to "
+                         "the amortized (dispatch-inflated) number")
     ap.add_argument("--steady", action="store_true",
                     help="no excitation: constant gravity from rest (the "
                          "pre-r4 protocol). A top-pinned beam SETTLES — by "
@@ -220,6 +227,8 @@ def main():
                 # added per level inside linearize (frame_adaptive_mg)
                 lmg_kw["dt"] = None
             lmg = LatticeMG(lscene, **lmg_kw)
+            if not args.adaptive_substep:
+                roofline = _make_roofline_mg(lscene, lmg)
         elif not args.no_pallas and not args.adaptive_substep:
             roofline = _make_roofline(lscene)
 
@@ -235,9 +244,10 @@ def main():
                                 lscene, lmg, st, tol=args.tol,
                                 max_newton=args.max_newton, gravity_scale=gs)
                         else:
-                            st2, k, fn = step_to_tol_mg(
+                            st2, k, fn, cg = step_to_tol_mg(
                                 lscene, lmg, st, tol=args.tol,
-                                max_newton=args.max_newton, gravity_scale=gs)
+                                max_newton=args.max_newton, gravity_scale=gs,
+                                return_cg=True)
                     elif args.adaptive_substep:
                         st2, k, fn, _ = latmod.frame_adaptive(
                             lscene, st, tol=args.tol, max_newton=args.max_newton,
@@ -342,6 +352,11 @@ def _time_and_print(args, make_run, params, st0,
         result["slope_spread_ms"] = round(max(reps) - min(reps), 3)
         if ms <= 0:   # tunnel-latency noise exceeded the device time
             ms = ms_amort
+            if roofline is not None:
+                # dispatch-inflated denominator — still report the model
+                # rates rather than dropping mfu/hbm_frac on the floor
+                fl_b, by_b = roofline(args.frames, ks, cgs)
+                result.update(_roofline_stats(fl_b, by_b, t_big))
         elif roofline is not None:
             fl_b, by_b = roofline(args.frames, ks, cgs)
             fl_s, by_s = roofline(n_small, ks_s, cgs_s)
@@ -415,9 +430,20 @@ def _make_roofline(lscene):
     (solve3x3 minv reads the 9-channel diag and r, writes z; the x/r/p
     axpys and three dot products stream ~10 more 3-vectors), assuming
     XLA fuses each axpy chain into one read-modify-write pass. A model,
-    not a counter — treat fractions near 1.0 as 'at the roofline'."""
+    not a counter — treat fractions near 1.0 as 'at the roofline'.
+
+    When the FUSED single-launch Newton iteration engages (small dense
+    grids, ops.pallas_lattice.fused_newton: residual + diag + PCG +
+    trial-step residual norm inside one kernel), the whole Newton step's
+    HBM traffic is one launch's I/O — u/s in, dx/f out, plus the
+    channel-first transpose relayouts (~35 Vp + cell mask per Newton
+    step) — because r/p/dx/diag live in VMEM scratch for all iterations
+    and both in-kernel force evals read resident fields; only the
+    per-frame fn0 residual eval still streams separately. FLOPs are
+    unchanged (the kernel does the same useful work)."""
     from fem_simulation_tpu.ops import pallas_lattice as plat
 
+    fused = lscene.boxes is None and plat.fused_pcg_ok(lscene.shape)
     cells = int(np.asarray(lscene.cell_mask).sum())
 
     def pad_vol(cell_ext):
@@ -443,9 +469,81 @@ def _make_roofline(lscene):
         flops = cells * (n_force * plat.FORCE_FLOPS_PER_CELL
                          + n_hvp * plat.HVP_FLOPS_PER_CELL
                          + n_diag * plat.DIAG_FLOPS_PER_CELL)
-        nbytes = 4 * (n_force * (6 * vp + cp)
-                      + n_hvp * (9 * vp + cp + 48 * vp)
-                      + n_diag * (24 * vp + cp))
+        if fused:
+            nbytes = 4 * (frames * (6 * vp + cp)
+                          + n_diag * (35 * vp + cp))
+        else:
+            nbytes = 4 * (n_force * (6 * vp + cp)
+                          + n_hvp * (9 * vp + cp + 48 * vp)
+                          + n_diag * (24 * vp + cp))
+        return flops, nbytes
+    return roofline
+
+
+def _make_roofline_mg(lscene, lmg):
+    """FLOP/byte model for the GMG-preconditioned paths (VERDICT r4 weak #5:
+    the MG configs published no mfu/hbm_frac).
+
+    Same per-kernel constants as _make_roofline, summed over the hierarchy:
+    per frame/solve it counts the fine residual evals (1 + 2k force passes),
+    per-Newton diag builds on EVERY level, the once-per-frame lmax power
+    iteration (6 matvecs/level, now cached across Newton steps), and per
+    outer PCG iteration one fine matvec plus 2*nu Chebyshev smoothing
+    matvecs per non-coarsest level. DELIBERATE UNDER-COUNT: the coarsest
+    level's inner-CG work and the transfer ops are excluded (their
+    iteration counts are data-dependent inside the preconditioner and the
+    coarse grid is >=64x smaller) — the printed mfu is a lower bound."""
+    from fem_simulation_tpu.ops import pallas_lattice as plat
+    from fem_simulation_tpu.ops import boxes as boxlib
+
+    def pad_vol(cell_ext):
+        vx, vy, vz = (e + 1 for e in cell_ext)
+        return vx * (-(-vy // 8) * 8) * (-(-vz // 128) * 128)
+
+    def pad_cvol(cell_ext):
+        cx, cy, cz = cell_ext
+        return cx * (-(-cy // 8) * 8) * (-(-cz // 128) * 128)
+
+    levels = []
+    for li, lvl in enumerate(lmg.levels):
+        cells = float(np.asarray(lvl.cell_mask).sum())
+        if li == 0 and lscene.boxes is not None:
+            exts = [tuple(b.c1[b.perm[d]] - b.c0[b.perm[d]]
+                          for d in range(3)) for b in lscene.boxes]
+        else:
+            ext = tuple(int(s) for s in lvl.cell_mask.shape)
+            perm, _ = boxlib.best_perm(ext)
+            exts = [tuple(ext[p] for p in perm)]
+        levels.append((cells, sum(pad_vol(e) for e in exts),
+                       sum(pad_cvol(e) for e in exts)))
+
+    def roofline(frames, ks, cgs):
+        n_newton = int(ks.sum())
+        # dynamic frames run 1 + 2k fine residual evals; a quasi-static
+        # solve runs 1 + 2k per repetition the same way (fn0 + per-Newton
+        # resid + newton_update's acceptance resid)
+        n_force = frames + 2 * n_newton
+        n_cg = int(cgs.sum())
+        c0, vp0, cp0 = levels[0]
+        flops = n_force * plat.FORCE_FLOPS_PER_CELL * c0
+        nbytes = n_force * 4.0 * (6 * vp0 + cp0)
+        for li, (c, vp, cp) in enumerate(levels):
+            flops += n_newton * plat.DIAG_FLOPS_PER_CELL * c
+            nbytes += n_newton * 4.0 * (24 * vp + cp)
+            if lmg.chebyshev:
+                # lmax power iteration: 6 matvecs/level, once per
+                # frame/solve (cached across the Newton loop)
+                flops += frames * 6 * plat.HVP_FLOPS_PER_CELL * c
+                nbytes += frames * 6 * 4.0 * (9 * vp + cp)
+        smooth_f = smooth_b = 0.0
+        for li, (c, vp, cp) in enumerate(levels):
+            sweeps = 2 * lmg.nu if li < len(levels) - 1 else (
+                0 if lmg.coarse_cg > 0 else lmg.coarse_sweeps)
+            smooth_f += sweeps * plat.HVP_FLOPS_PER_CELL * c
+            # matvec stream + the solve3x3 diag read / residual-vector pass
+            smooth_b += sweeps * 4.0 * (9 * vp + cp + 16 * vp)
+        flops += n_cg * (plat.HVP_FLOPS_PER_CELL * c0 + smooth_f)
+        nbytes += n_cg * (4.0 * (9 * vp0 + cp0 + 48 * vp0) + smooth_b)
         return flops, nbytes
     return roofline
 
@@ -528,11 +626,15 @@ def bench_quasistatic(args, m, pins=None):
     n_rep = max(args.frames // 10, 4)
     # distinct tiny rest-state perturbations defeat cross-repeat CSE
     seeds = jnp.linspace(0.0, 1e-4, n_rep)
+    # roofline for the single-shot configs (the continuation/FMG stage
+    # structure has no cg accounting — see quasistatic_to_tol return_cg)
+    count_cg = args.load_steps == 1 and not args.fmg
 
     @jax.jit
     def run(x0):
         def body(carry, s):
             x = x0 + s * lscene.vert_mask[..., None]
+            cg = jnp.int32(0)
             if args.fmg:
                 x, k, fn = quasistatic_fmg(
                     lscene, lmg, tol=args.tol, max_newton=100,
@@ -540,32 +642,48 @@ def bench_quasistatic(args, m, pins=None):
                     fine_solver=("jacobi" if solver == "lattice" else "mg"),
                     perturb=s)
             elif solver == "latmg":
-                x, k, fn = quasistatic_to_tol_mg(lscene, lmg, x, tol=args.tol,
-                                                 max_newton=100,
-                                                 load_steps=args.load_steps,
-                                                 cg_forcing=args.cg_forcing)
+                out = quasistatic_to_tol_mg(lscene, lmg, x, tol=args.tol,
+                                            max_newton=100,
+                                            load_steps=args.load_steps,
+                                            cg_forcing=args.cg_forcing,
+                                            return_cg=count_cg)
+                (x, k, fn), cg = out[:3], (out[3] if count_cg else cg)
             else:
-                x, k, fn = quasistatic_to_tol(
+                out = quasistatic_to_tol(
                     lscene, x, tol=args.tol, max_newton=100,
                     load_steps=args.load_steps,
                     use_pallas=False if args.no_pallas else None,
-                    cg_forcing=args.cg_forcing)
-            return carry, (k, fn)
-        _, (ks, fns) = jax.lax.scan(body, 0.0, seeds)
-        return ks, fns
+                    cg_forcing=args.cg_forcing, return_cg=count_cg)
+                (x, k, fn), cg = out[:3], (out[3] if count_cg else cg)
+            return carry, (k, fn, cg)
+        _, (ks, fns, cgs) = jax.lax.scan(body, 0.0, seeds)
+        return ks, fns, cgs
 
-    ks, fns = run(lscene.x0)
+    ks, fns, cgs = run(lscene.x0)
     fns = np.asarray(fns)                    # warm-up/compile + sync
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        ks, fns = run(lscene.x0)
+        ks, fns, cgs = run(lscene.x0)
         fns = np.asarray(fns)
         dt_ = time.perf_counter() - t0
         best = dt_ if best is None else min(best, dt_)
     ks = np.asarray(ks)
+    cgs = np.asarray(cgs)
     ms = best / n_rep * 1000.0
     converged = bool(fns.max() <= args.tol * 1.01)
+    result = {}
+    if count_cg and not args.no_pallas:
+        if solver == "latmg":
+            roofline = _make_roofline_mg(lscene, lmg)
+        elif lscene.boxes is None:
+            roofline = _make_roofline(lscene)
+        else:
+            roofline = None
+        if roofline is not None:
+            fl, by = roofline(n_rep, ks, cgs)
+            result = _roofline_stats(fl, by, best)
+            result["cg_total"] = int(cgs.sum())
     print(json.dumps({
         "metric": (f"ms_quasistatic_to_f_inf_{args.tol:g}_{args.solver}"
                    + ("_fmg" if args.fmg else "")),
@@ -576,6 +694,7 @@ def bench_quasistatic(args, m, pins=None):
         "n_verts": int(m.n_verts),
         "converged": converged,       # False: solver hit max_newton first
         "f_inf_final": float(fns.max()),
+        **result,
     }))
     return 0 if converged else 1
 

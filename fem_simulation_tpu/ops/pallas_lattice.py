@@ -111,6 +111,58 @@ def _chain(x, cm, g, det, mu, la, p, emit):
                 emit(i, r, (sgn * contrib) * cm)
 
 
+def _chain_into(out_ref, x, cm, g, det, mu, la, p=None):
+    """Zero out_ref (3, X, Y, Z) and accumulate the force (p=None) or HVP
+    (p given) chain into it via ref-slice read-modify-writes."""
+    X, Y, Z = x.shape[1:]
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    def emit(i, r, field):
+        di, dj, dk = _CORNERS[i]
+        sl = (r, slice(di, di + X - 1), slice(dj, dj + Y - 1),
+              slice(dk, dk + Z - 1))
+        out_ref[sl] = out_ref[sl] + field
+
+    _chain(x, cm, g, det, mu, la, p, emit)
+
+
+def _diag_into(out_ref, x, cm, g, det, mu, la):
+    """Zero out_ref (6, X, Y, Z) and accumulate the 6 symmetric channels of
+    the vertex-diagonal Hessian blocks (the _make_diag_kernel math:
+    D_i[r][s] = det * (delta_rs a^T M a + (mu+la) v_r v_s + mu |a|^2 G))."""
+    X, Y, Z = x.shape[1:]
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    xs = [[x[r, di:di + X - 1, dj:dj + Y - 1, dk:dk + Z - 1]
+           for r in range(3)] for (di, dj, dk) in _CORNERS]
+    for q in range(8):
+        F = [[sum(xs[i][r] * float(g[i, q, c]) for i in range(8))
+              + (1.0 if r == c else 0.0)
+              for c in range(3)] for r in range(3)]
+        E = [[0.5 * (sum(F[r][a] * F[r][b] for r in range(3))
+                     - (1.0 if a == b else 0.0))
+              for b in range(3)] for a in range(3)]
+        trE = E[0][0] + E[1][1] + E[2][2]
+        M = [[2.0 * mu * E[a][b] + (la * trE if a == b else 0.0)
+              for b in range(3)] for a in range(3)]
+        G = {}
+        for (r, s) in _DIAG_RS:
+            G[(r, s)] = sum(F[r][b] * F[s][b] for b in range(3))
+        for i in range(8):
+            a = [float(g[i, q, c]) for c in range(3)]
+            gg = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
+            v = [sum(F[r][c] * a[c] for c in range(3)) for r in range(3)]
+            aMa = sum(a[b] * M[b][c] * a[c]
+                      for b in range(3) for c in range(3))
+            di, dj, dk = _CORNERS[i]
+            for ch, (r, s) in enumerate(_DIAG_RS):
+                contrib = (mu + la) * v[r] * v[s] + (mu * gg) * G[(r, s)]
+                if r == s:
+                    contrib = contrib + aMa
+                sl = (ch, slice(di, di + X - 1), slice(dj, dj + Y - 1),
+                      slice(dk, dk + Z - 1))
+                out_ref[sl] = out_ref[sl] + (det * contrib) * cm
+
+
 def _make_energy_kernel(g, det, mu, la):
     """Per-cell StVK energy sum over quad points: psi_cell = det * sum_q
     (mu ||E||^2 + la/2 tr(E)^2), masked. Output (Cx, Cy, Cz)."""
@@ -184,40 +236,7 @@ def _make_diag_kernel(g, det, mu, la):
     — same math as ops.stencil.elastic_hessian_diag_lattice, fused in VMEM
     (the XLA version costs ~82 ms/eval at 66k verts on v5e; this ~1 ms)."""
     def kernel(x_ref, cm_ref, out_ref):
-        x = x_ref[:]
-        cm = cm_ref[:]
-        X, Y, Z = x.shape[1:]
-        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
-        xs = [[x[r, di:di + X - 1, dj:dj + Y - 1, dk:dk + Z - 1]
-               for r in range(3)] for (di, dj, dk) in _CORNERS]
-        for q in range(8):
-            # displacement form (see _chain): F = I + sum_i u_i g_iq^T
-            F = [[sum(xs[i][r] * float(g[i, q, c]) for i in range(8))
-                  + (1.0 if r == c else 0.0)
-                  for c in range(3)] for r in range(3)]
-            E = [[0.5 * (sum(F[r][a] * F[r][b] for r in range(3))
-                         - (1.0 if a == b else 0.0))
-                  for b in range(3)] for a in range(3)]
-            trE = E[0][0] + E[1][1] + E[2][2]
-            M = [[2.0 * mu * E[a][b] + (la * trE if a == b else 0.0)
-                  for b in range(3)] for a in range(3)]
-            G = {}
-            for (r, s) in _DIAG_RS:
-                G[(r, s)] = sum(F[r][b] * F[s][b] for b in range(3))
-            for i in range(8):
-                a = [float(g[i, q, c]) for c in range(3)]
-                gg = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
-                v = [sum(F[r][c] * a[c] for c in range(3)) for r in range(3)]
-                aMa = sum(a[b] * M[b][c] * a[c]
-                          for b in range(3) for c in range(3))
-                di, dj, dk = _CORNERS[i]
-                for ch, (r, s) in enumerate(_DIAG_RS):
-                    contrib = (mu + la) * v[r] * v[s] + (mu * gg) * G[(r, s)]
-                    if r == s:
-                        contrib = contrib + aMa
-                    sl = (ch, slice(di, di + X - 1), slice(dj, dj + Y - 1),
-                          slice(dk, dk + Z - 1))
-                    out_ref[sl] = out_ref[sl] + (det * contrib) * cm
+        _diag_into(out_ref, x_ref[:], cm_ref[:], g, det, mu, la)
     return kernel
 
 
@@ -266,21 +285,10 @@ def _make_kernel(g, det, mu, la, hvp: bool):
         else:
             x_ref, cm_ref, out_ref = refs
             p = None
-        x = x_ref[:]
-        cm = cm_ref[:]
-        X, Y, Z = x.shape[1:]
         # accumulate via ref-slice read-modify-write inside the chain's
         # q-loop (static slices only; value-side .at[].add would lower to an
         # unsupported scatter-add; eager emission keeps the live set small)
-        out_ref[:] = jnp.zeros_like(x)
-
-        def emit(i, r, field):
-            di, dj, dk = _CORNERS[i]
-            sl = (r, slice(di, di + X - 1), slice(dj, dj + Y - 1),
-                  slice(dk, dk + Z - 1))
-            out_ref[sl] = out_ref[sl] + field
-
-        _chain(x, cm, g, det, mu, la, p, emit)
+        _chain_into(out_ref, x_ref[:], cm_ref[:], g, det, mu, la, p)
     return kernel
 
 
@@ -430,6 +438,267 @@ def _chunked_vert_op(run_one, x_cf, cm, extra_cf=None, budget=None):
                             ok.dtype)
         out = out.at[:, c0:c1 + 1].add(ok)
     return out
+
+
+# -- fused PCG megakernel ----------------------------------------------------
+# The whole preconditioned-CG linear solve of one Newton step in ONE kernel
+# launch: build the 3x3 vertex-diagonal (6 symmetric channels), then loop
+# matvec (the analytic stencil HVP) + block-Jacobi preconditioner (adjugate
+# solve, ell.solve3x3 math) + the dot/axpy algebra with the convergence test
+# on in-kernel scalars. r/p/dx live in VMEM scratch for the entire solve —
+# zero HBM round-trips between iterations.
+#
+# Why: at the benchmark's 2k-vertex default the unfused path costs ~8 kernel
+# launches per CG iteration (hvp Pallas + solve3x3/axpy/dot XLA fusions
+# through a lax.while_loop) and per-launch overhead eats 86% of the frame
+# (BENCH_r04 mfu 0.135 vs 0.554 for the same kernels at 19k). Semantics
+# mirror solvers.cg.pcg_operator exactly (normalized RHS, EPSILON/pap
+# guards, iteration-count convention) — tests assert parity.
+#
+# Only the single-box dense-grid path uses this, gated on the diag chunk
+# budget (the in-kernel live set peaks in the diag chain); bigger grids and
+# box covers keep the unfused path.
+
+def _sym_solve(d, r0, r1, r2, vm, eps=1e-12):
+    """Adjugate solve of the 6-channel symmetric 3x3 field d (ell.solve3x3
+    math specialized to symmetry), masked by vm."""
+    a, b, c, dd, e, f = (d[i] for i in range(6))
+    c00 = dd * f - e * e
+    c01 = e * c - b * f
+    c02 = b * e - dd * c
+    det = a * c00 + b * c01 + c * c02
+    c11 = a * f - c * c
+    c12 = b * c - a * e
+    c22 = a * dd - b * b
+    inv_det = det / (det * det + eps)
+    z0 = (c00 * r0 + c01 * r1 + c02 * r2) * inv_det * vm
+    z1 = (c01 * r0 + c11 * r1 + c12 * r2) * inv_det * vm
+    z2 = (c02 * r0 + c12 * r1 + c22 * r2) * inv_det * vm
+    return z0, z1, z2
+
+
+def _pcg_in_kernel(tol, b, u_ref, cm, ctrl, vm,
+                   dx_ref, r_ref, p_ref, ap_ref, d_ref,
+                   g, det, mu, la, iterations):
+    """Shared in-kernel PCG loop: solve (H(u) + diag(ctrl)) dx = b with the
+    block-Jacobi preconditioner from the (already built, ctrl-shifted)
+    6-channel d_ref. Leaves the solution in dx_ref; returns the iteration
+    count (pcg_operator's convention: matvecs executed = k - 1).
+    Semantics mirror solvers.cg.pcg_operator exactly (normalized RHS,
+    EPSILON/pap guards)."""
+    from ..solvers.cg import EPSILON
+
+    # -- normalized RHS (solvers.cg._normalize_rhs) --
+    rr_b = jnp.sum(b * b)
+    ok_b = rr_b > 0.0
+    inv_scale = jnp.sqrt(jnp.where(ok_b, rr_b, 1.0))
+    scale_back = jnp.where(ok_b, inv_scale, 0.0)
+    r_ref[:] = b / inv_scale
+    dx_ref[:] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+    d6 = d_ref[:]
+    r = r_ref[:]
+    z0, z1, z2 = _sym_solve(d6, r[0], r[1], r[2], vm)
+    z = jnp.stack([z0, z1, z2])
+    p_ref[:] = z
+    rz0 = jnp.sum(r * z)
+    rr0 = jnp.sum(r * r)
+
+    def cond(c):
+        rz, rr, k, alive = c
+        return (alive & (k <= iterations) & (rr > tol * rr0)
+                & (rr0 > EPSILON) & jnp.isfinite(rr))
+
+    def body(c):
+        rz, rr, k, alive = c
+        # matvec: analytic stencil HVP + ctrl, masked (step_to_tol)
+        _chain_into(ap_ref, u_ref[:], cm, g, det, mu, la, p_ref[:])
+        p = p_ref[:]
+        ap = (ap_ref[:] + ctrl[None] * p) * vm[None]
+        pap = jnp.sum(p * ap)
+        ok = pap >= 1e-12
+        alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
+        dx_ref[:] = dx_ref[:] + alpha * p
+        r_new = r_ref[:] - alpha * ap
+        r_ref[:] = r_new
+        d6 = d_ref[:]
+        z0, z1, z2 = _sym_solve(d6, r_new[0], r_new[1], r_new[2], vm)
+        z_new = jnp.stack([z0, z1, z2])
+        rz_new = jnp.sum(r_new * z_new)
+        beta = rz_new / rz
+        p_ref[:] = z_new + beta * p
+        return (rz_new, jnp.sum(r_new * r_new), k + 1, alive & ok)
+
+    _, _, k, _ = jax.lax.while_loop(
+        cond, body, (rz0, rr0, jnp.int32(1), ok_b))
+    dx_ref[:] = dx_ref[:] * scale_back
+    return k
+
+
+def _make_pcg_kernel(g, det, mu, la, iterations):
+    def kernel(tol_ref, u_ref, f_ref, cm_ref, ctrl_ref, vm_ref,
+               dx_ref, k_ref, r_ref, p_ref, ap_ref, d_ref):
+        cm = cm_ref[:]
+        vm = vm_ref[:]
+        ctrl = ctrl_ref[:]
+        # vertex-diagonal Hessian blocks + ctrl (pins + mass/dt^2 +
+        # empty-row identity) on the diagonal
+        _diag_into(d_ref, u_ref[:], cm, g, det, mu, la)
+        for ch, (r, s) in enumerate(_DIAG_RS):
+            if r == s:
+                d_ref[ch] = d_ref[ch] + ctrl
+        k = _pcg_in_kernel(tol_ref[0, 0], f_ref[:], u_ref, cm, ctrl, vm,
+                           dx_ref, r_ref, p_ref, ap_ref, d_ref,
+                           g, det, mu, la, iterations)
+        k_ref[0, 0] = k
+    return kernel
+
+
+def _make_newton_kernel(g, det, mu, la, iterations):
+    """One full Newton iteration of the implicit step in ONE launch:
+      f   = elastic_force(u) + s - rc u      (masked)   -> f_ref (output)
+      d6  = hess_diag(u) + ctrl I                        -> scratch
+      dx  = PCG((H(u) + diag(ctrl)) dx = f)              -> dx_ref (output)
+      fn  = ||f(u + dx)||_inf                            -> fn_ref (output)
+    s is the frame-constant affine part of the residual (gravity + pin/drag
+    targets + inertia anchor, minus rc*x0 so the kernel works on
+    displacements); rc is the residual's exact linear coefficient
+    (pin + drag + mass/dt^2 — SUM, unlike ctrl's max(pin, drag) Hessian
+    shift, sim/lattice.py step_to_tol). The caller keeps the blowup-rescue
+    branch outside (it needs f and dx, both outputs here)."""
+    def kernel(tol_ref, u_ref, s_ref, cm_ref, ctrl_ref, rc_ref, vm_ref,
+               dx_ref, f_ref, fn_ref, k_ref, r_ref, p_ref, ap_ref, d_ref):
+        cm = cm_ref[:]
+        vm = vm_ref[:]
+        ctrl = ctrl_ref[:]
+        rc = rc_ref[:]
+        # residual at u (force chain + affine terms), masked
+        _chain_into(f_ref, u_ref[:], cm, g, det, mu, la)
+        f = (f_ref[:] + s_ref[:] - rc[None] * u_ref[:]) * vm[None]
+        f_ref[:] = f
+        # diag + ctrl shift
+        _diag_into(d_ref, u_ref[:], cm, g, det, mu, la)
+        for ch, (r, s) in enumerate(_DIAG_RS):
+            if r == s:
+                d_ref[ch] = d_ref[ch] + ctrl
+        k = _pcg_in_kernel(tol_ref[0, 0], f, u_ref, cm, ctrl, vm,
+                           dx_ref, r_ref, p_ref, ap_ref, d_ref,
+                           g, det, mu, la, iterations)
+        k_ref[0, 0] = k
+        # trial full step: residual norm at u + dx (masked step)
+        ap_ref[:] = u_ref[:] + dx_ref[:] * vm[None]
+        _chain_into(r_ref, ap_ref[:], cm, g, det, mu, la)
+        f_new = (r_ref[:] + s_ref[:] - rc[None] * ap_ref[:]) * vm[None]
+        fn_ref[0, 0] = jnp.max(jnp.abs(f_new))
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dx", "mu", "la", "iterations",
+                                             "interpret"))
+def _run_pcg(tol, u_cf, f_cf, cm, ctrl, vm, dx: float, mu: float, la: float,
+             iterations: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = _g_table(dx)
+    det = float((dx / 2.0) ** 3)
+    kernel = _make_pcg_kernel(g, det, mu, la, iterations)
+    vshape = u_cf.shape[1:]
+    dt_ = u_cf.dtype
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct(u_cf.shape, dt_),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(u_cf.shape, dt_),      # r
+                        pltpu.VMEM(u_cf.shape, dt_),      # p
+                        pltpu.VMEM(u_cf.shape, dt_),      # ap
+                        pltpu.VMEM((6,) + vshape, dt_)],  # diag6
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(tol, dt_), (1, 1)), u_cf, f_cf, cm, ctrl, vm)
+
+
+@functools.partial(jax.jit, static_argnames=("dx", "mu", "la", "iterations",
+                                             "interpret"))
+def _run_newton(tol, u_cf, s_cf, cm, ctrl, rc, vm, dx: float, mu: float,
+                la: float, iterations: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = _g_table(dx)
+    det = float((dx / 2.0) ** 3)
+    kernel = _make_newton_kernel(g, det, mu, la, iterations)
+    vshape = u_cf.shape[1:]
+    dt_ = u_cf.dtype
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct(u_cf.shape, dt_),     # dx
+                   jax.ShapeDtypeStruct(u_cf.shape, dt_),     # f at u
+                   jax.ShapeDtypeStruct((1, 1), dt_),         # fn_full
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],  # k
+        scratch_shapes=[pltpu.VMEM(u_cf.shape, dt_),      # r
+                        pltpu.VMEM(u_cf.shape, dt_),      # p
+                        pltpu.VMEM(u_cf.shape, dt_),      # ap
+                        pltpu.VMEM((6,) + vshape, dt_)],  # diag6
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(tol, dt_), (1, 1)), u_cf, s_cf, cm, ctrl,
+      rc, vm)
+
+
+def fused_newton(u_cf, s_cf, cell_mask, ctrl, rc, vert_mask, dx: float,
+                 mu: float, la: float, iterations: int = 50, tol=1e-5,
+                 interpret: bool | None = None):
+    """One-launch Newton iteration on the dense lattice (_make_newton_kernel).
+
+    u_cf: (3, X, Y, Z) displacement; s_cf: affine residual part (already
+    channel-first, includes the -rc*x0 shift); ctrl: Hessian diagonal shift;
+    rc: residual linear coefficient. Returns (dx_cf, f_cf, fn_full, k)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    dxc, fc, fn, k = _run_newton(tol, u_cf, s_cf, cell_mask, ctrl, rc,
+                                 vert_mask, float(dx), float(mu), float(la),
+                                 int(iterations), interpret)
+    return dxc, fc, fn[0, 0], k[0, 0]
+
+
+def fused_pcg_ok(vert_shape) -> bool:
+    """True when the fused PCG kernel may run on this dense vertex grid:
+    the in-kernel live set peaks in the diag chain, so the gate is the diag
+    chunk budget (the fused solve cannot be x-chunked — r/p/dx state is
+    global across the grid)."""
+    X, Y, Z = vert_shape
+    return X * _round_up(Y, 8) * _round_up(Z, 128) <= _chunk_padded_vol_diag()
+
+
+def fused_pcg(u_cf, f_cf, cell_mask, ctrl, vert_mask, dx: float, mu: float,
+              la: float, iterations: int = 50, tol=1e-5,
+              interpret: bool | None = None):
+    """One-launch PCG solve of (H(u) + diag(ctrl)) dx = f on the dense
+    lattice (block-Jacobi preconditioned; pcg_operator semantics).
+
+    u_cf/f_cf: (3, X, Y, Z) displacement field and masked RHS; ctrl:
+    (X, Y, Z) scalar diagonal shift; tol may be traced (Eisenstat-Walker).
+    Returns (dx_cf, k) with pcg_operator's iteration convention
+    (matvecs executed = k - 1)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    dx_cf, k = _run_pcg(tol, u_cf, f_cf, cell_mask, ctrl, vert_mask,
+                        float(dx), float(mu), float(la), int(iterations),
+                        interpret)
+    return dx_cf, k[0, 0]
 
 
 def force_cf(x_cf, cell_mask, dx: float, mu: float, la: float,

@@ -98,25 +98,32 @@ class DistLatticeMG(LatticeMG):
         super().__init__(scene, **kw)
         self.level_specs = []
         self._level_cell_slabs = {}
+        self._level_pallas = {}
         for li, lvl in enumerate(self.levels):
             z_planes = lvl.vert_mask.shape[2]
             sharded = (z_planes >= min_planes_per_dev * n_sp
                        and z_planes % n_sp == 0)
             self.level_specs.append(
                 P(None, None, axis) if sharded else P())
-            # Lane gate: the shard_map body's local CELL lane extent is
-            # z_planes/n_sp + 1 (slab cells + the ghost-plane cell row);
-            # short-lane Pallas kernels faulted the TPU worker (CLAUDE.md)
-            # and the single-chip paths gate on a 16-CELL lane extent
-            # (sim/lattice.py _pallas_ok, lattice_mg.py) — sharded levels
-            # must not reintroduce ungated short-lane launches. Gated
-            # levels keep the GSPMD XLA stencil path. ``min_lane_cells``
-            # exists for CPU interpret-mode tests (the operator-parity test
-            # passes 1 to exercise the wrapper on a small beam) — leave the
-            # TPU default alone.
-            if (sharded and self.pallas_halo
-                    and z_planes // n_sp + 1 >= min_lane_cells):
+            # EVERY sharded level runs its matvec/diag through the
+            # shard_map plane-halo wrapper (r5): left to the GSPMD
+            # partitioner, the XLA stencil's shifted slices (size Z-1 on a
+            # Z-extent sharded axis — never divisible by the mesh) fall
+            # back to FULL all-gathers of the level field, ~1.9 MB of
+            # in-loop traffic per program on the 4,4,33 microscope
+            # (COLLECTIVES.md r4). The wrapper's ghost-plane ppermutes are
+            # the 1-ring minimum regardless of which local kernel runs.
+            if sharded:
                 self._level_cell_slabs[li] = _cell_slabs(lvl.cell_mask, n_sp)
+                # Lane gate for the LOCAL KERNEL choice only: the body's
+                # local cell lane extent is z_planes/n_sp + 1; short-lane
+                # Pallas kernels faulted the TPU worker (CLAUDE.md), so
+                # gated levels run the local XLA stencil inside the same
+                # wrapper instead. ``min_lane_cells`` exists for CPU
+                # interpret-mode tests (operator-parity passes 1).
+                self._level_pallas[li] = (
+                    self.pallas_halo
+                    and z_planes // n_sp + 1 >= min_lane_cells)
 
     def constrain(self, li, a):
         spec = self.level_specs[li]
@@ -156,16 +163,38 @@ class DistLatticeMG(LatticeMG):
             f = f[:, :, 1:-1]
             return f.at[:, :, 0].add(from_left).at[:, :, -1].add(from_right)
 
-        def _local_hvp(x, p, cmb):
-            xe = jnp.transpose(_extend(x), (3, 0, 1, 2))
-            pe = jnp.transpose(_extend(p), (3, 0, 1, 2))
-            hp = jnp.transpose(plat.hvp_cf(xe, pe, cmb[0], dx, mu, la),
-                               (1, 2, 3, 0))
-            return _fold(hp)
+        if self._level_pallas[li]:
+            def _local_hvp(x, p, cmb):
+                xe = jnp.transpose(_extend(x), (3, 0, 1, 2))
+                pe = jnp.transpose(_extend(p), (3, 0, 1, 2))
+                hp = jnp.transpose(plat.hvp_cf(xe, pe, cmb[0], dx, mu, la),
+                                   (1, 2, 3, 0))
+                return _fold(hp)
 
-        def _local_diag(x, cmb):
-            d = plat.hess_diag_lattice(_extend(x), cmb[0], dx, mu, la)
-            return _fold(d)
+            def _local_diag(x, cmb):
+                d = plat.hess_diag_lattice(_extend(x), cmb[0], dx, mu, la)
+                return _fold(d)
+        else:
+            # local XLA stencil on the ghost-extended slab: same math, no
+            # Pallas (short-lane levels / CPU) — still zero partitioner
+            # involvement, so no all-gather fallback
+            from ..ops import stencil
+
+            def _local_force(xe, cmb, lvl=lvl):
+                return stencil.elastic_force_lattice(
+                    xe, cmb, lvl.g_tab, lvl.det, mu, la)
+
+            def _local_hvp(x, p, cmb):
+                xe = _extend(x)
+                pe = _extend(p)
+                _, t = jax.jvp(lambda xz: _local_force(xz, cmb[0]),
+                               (xe,), (pe,))
+                return _fold(-t)
+
+            def _local_diag(x, cmb, lvl=lvl):
+                d = stencil.elastic_hessian_diag_lattice(
+                    _extend(x), cmb[0], lvl.g_tab, lvl.det, mu, la)
+                return _fold(d)
 
         # check_vma=False: pallas_call emits ShapeDtypeStruct outputs with
         # no varying-mesh-axes annotation, which the vma checker rejects
@@ -183,6 +212,96 @@ class DistLatticeMG(LatticeMG):
             return (hp + lvl.ctrl[..., None] * p) * lvl.vert_mask[..., None]
 
         return matvec, dg(x_l, cell_slabs)
+
+
+    # -- explicit inter-level transfers (shard_map + plane halo) -----------
+    # Left to GSPMD, every V-cycle's sharded->replicated restriction (and
+    # the partitioner's choices around it) cost ~15 all-gathers of the
+    # coarse field PER CG ITERATION (~1.9 MB static in-loop traffic on the
+    # 4,4,33 microscope, COLLECTIVES.md r4) riding the slowest ICI link.
+    # These overrides do what the matvec wrapper already does: local
+    # restriction/prolongation with the 1-plane ppermute halo, plus exactly
+    # ONE explicit all-gather of the (8x smaller) coarse field when the
+    # next level is replicated — the coarse-grid-agglomeration minimum.
+
+    def _restrict(self, li, r):
+        if self.level_specs[li] == P():          # fine level replicated
+            return super()._restrict(li, r)
+        from ..ops import stencil
+        mesh, axis = self.mesh, self.axis
+        D = mesh.shape[axis]
+        sharded_c = self.level_specs[li + 1] != P()
+        perm_up = [(i, i + 1) for i in range(D - 1)]
+        v_spec = P(None, None, axis, None)
+
+        def body(rl):
+            # rl: (X, Y, z_loc, C) local; the left ghost is global plane
+            # zd0-1 (device 0 receives ZEROS from ppermute == the zero BC).
+            # Coarse plane K reads fine 2K-1..2K+1, all inside the
+            # ghost-extended slab; z_loc is even on every level
+            # (z_multiple=D), so coarse ownership splits evenly.
+            lo = jax.lax.ppermute(rl[:, :, -1], axis, perm_up)
+            ext = jnp.concatenate([lo[:, :, None], rl], axis=2)
+            y = stencil._conv_half(stencil._conv_half(ext, 0), 1)
+            y = stencil._conv_half(y, 2)
+            rc = y[::2, ::2, 1::2]
+            if sharded_c:
+                return rc
+            return jax.lax.all_gather(rc, axis, axis=2, tiled=True)
+
+        rc = shard_map(body, mesh=mesh, in_specs=(v_spec,),
+                       out_specs=(v_spec if sharded_c else P()),
+                       check_vma=False)(r)
+        return self._pad_coarse(li, rc)
+
+    def _prolong(self, li, xc):
+        if self.level_specs[li] == P():          # fine level replicated
+            return super()._prolong(li, xc)
+        from ..ops import stencil
+        mesh, axis = self.mesh, self.axis
+        D = mesh.shape[axis]
+        src = self.levels[li].vert_mask.shape
+        sx, sy, sz = src
+        xc = xc[:(sx + 1) // 2, :(sy + 1) // 2, :sz // 2]
+        sharded_c = self.level_specs[li + 1] != P()
+        z_loc = sz // D
+        zc_loc = sz // 2 // D
+        perm_dn = [(i + 1, i) for i in range(D - 1)]
+        v_spec = P(None, None, axis, None)
+
+        def z_then_xy(loc):
+            # loc: (Xc, Yc, zc_loc+1, C) — coarse planes [K0, K0+zc_loc],
+            # one past the owned range (the global top plays the zero BC,
+            # matching prolong_lat's even-z semantics). Device-local fine
+            # plane i (global zd0+i, zd0 even): even i = loc[i//2], odd i =
+            # 0.5*(loc[(i-1)//2] + loc[(i+1)//2]) — the plain prolong rule.
+            Xc, Yc, _, C = loc.shape
+            z = jnp.zeros((Xc, Yc, 2 * (zc_loc + 1), C), loc.dtype)
+            z = z.at[:, :, ::2].set(loc)
+            z = stencil._conv_half(z, 2)[:, :, :z_loc]
+            out = jnp.zeros((sx, sy, z_loc, C), z.dtype)
+            out = out.at[::2, ::2].set(z)
+            return stencil._conv_half(stencil._conv_half(out, 0), 1)
+
+        if sharded_c:
+            def body(xcl):
+                # right ghost = neighbor's first plane; last device gets
+                # zeros (the global zero BC)
+                hi = jax.lax.ppermute(xcl[:, :, 0], axis, perm_dn)
+                return z_then_xy(jnp.concatenate([xcl, hi[:, :, None]],
+                                                 axis=2))
+            in_spec = v_spec
+        else:
+            def body(xc_full):
+                d = jax.lax.axis_index(axis)
+                xcp = jnp.pad(xc_full, [(0, 0), (0, 0), (0, 1), (0, 0)])
+                loc = jax.lax.dynamic_slice_in_dim(
+                    xcp, d * zc_loc, zc_loc + 1, axis=2)
+                return z_then_xy(loc)
+            in_spec = P()
+
+        return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                         out_specs=v_spec, check_vma=False)(xc)
 
 
 def _state_sharding(mesh: Mesh, axis: str, z: int):

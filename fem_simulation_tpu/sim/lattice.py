@@ -307,26 +307,58 @@ def step_to_tol(scene: LatticeScene, st: LatState,
         return e + 0.5 * inv_dt * inv_dt * jnp.sum(
             scene.mass[..., None] * di * di)
 
+    # fused single-launch Newton iteration (residual + diag + block-Jacobi
+    # PCG + trial-step residual norm in one Pallas kernel): per-launch
+    # overhead dominates small grids — the unfused path costs ~8 launches
+    # per CG iteration plus 3 per residual eval, and 86% of the 2k-default
+    # benchmark frame was launch overhead (BENCH_r04 mfu 0.135)
+    fused = pallas and scene.boxes is None and plat.fused_pcg_ok(scene.shape)
+    if fused:
+        # frame-constant affine residual decomposition: f(x) =
+        # f_el(u) + s - rc*u with u = x - x0 (see _make_newton_kernel);
+        # rc is the exact SUM of penalty/inertia coefficients, distinct
+        # from ctrl's max(pin, drag) Hessian shift
+        rc = (mat.control_mag * (scene.pin_mask + st.drag_mask)
+              + scene.mass * inv_dt * inv_dt)
+        s_aff = (mat.control_mag * (scene.pin_mask[..., None] * scene.pin_pos
+                                    + st.drag_mask[..., None] * st.drag_pos)
+                 + (scene.mass * inv_dt * inv_dt)[..., None] * x_tilde)
+        s_aff = s_aff.at[..., 1].add(scene.mass * mat.gravity
+                                     * gravity_scale)
+        s_cf = jnp.transpose(s_aff - rc[..., None] * scene.x0,
+                             (3, 0, 1, 2))
+
     def body(c):
         xx, k, fn_prev, fmin, cg_tot = c
-        f = resid(xx)
-        if pallas:
-            hvp = scene.elastic_hvp_fn(xx, True)
-
-            def matvec(p):
-                return (hvp(p) + ctrl[..., None] * p) * vmask3
+        if fused:
+            dx_cf, f_cf, fn_full, cg_k = plat.fused_newton(
+                jnp.transpose(xx - scene.x0, (3, 0, 1, 2)), s_cf,
+                scene.cell_mask, ctrl, rc, scene.vert_mask, scene.mesh.dx,
+                mat.lame_mu, mat.lame_la,
+                iterations=cg_iterations, tol=cg_tol)
+            dx = jnp.transpose(dx_cf, (1, 2, 3, 0))
+            f = jnp.transpose(f_cf, (1, 2, 3, 0))
         else:
-            _, jvp_fn = jax.linearize(resid, xx)
-            matvec = lambda p: -jvp_fn(p)
-        diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
-        minv = lambda r: ell.solve3x3(diag, r) * vmask3
-        dx, cg_k = cgmod.pcg_operator(matvec, minv, f,
-                                      iterations=cg_iterations, tol=cg_tol,
-                                      return_iters=True)
+            f = resid(xx)
+            if pallas:
+                hvp = scene.elastic_hvp_fn(xx, True)
+
+                def matvec(p):
+                    return (hvp(p) + ctrl[..., None] * p) * vmask3
+            else:
+                _, jvp_fn = jax.linearize(resid, xx)
+                matvec = lambda p: -jvp_fn(p)
+            diag = (_hess_diag(scene, xx, pallas)
+                    + ctrl[..., None, None] * eye)
+            minv = lambda r: ell.solve3x3(diag, r) * vmask3
+            dx, cg_k = cgmod.pcg_operator(matvec, minv, f,
+                                          iterations=cg_iterations,
+                                          tol=cg_tol, return_iters=True)
         # pcg's iteration carry starts at 1: matvecs executed = cg_k - 1
         cg_tot = cg_tot + cg_k - 1
         x_full = xx + dx * vmask3
-        fn_full = ell.inf_norm(resid(x_full))
+        if not fused:
+            fn_full = ell.inf_norm(resid(x_full))
         # Rescue: dynamics takes full Newton steps (the common case — the
         # mass shift keeps the system SPD and the step contracts). A fast-
         # swinging body under StVK can still blow a full step up (measured:
@@ -497,10 +529,11 @@ def armijo_step(energy_fn, xx, f, dx, vmask3, n_back: int = 16,
 
 
 def newton_update(xx, f, dx, vmask3, fn_prev, energy_fn, resid_inf,
-                  line_search: bool):
+                  line_search: bool, fn_full=None):
     """Shared quasi-static Newton step acceptance: take the FULL step when
     it reduces the residual, Armijo-backtrack on the energy only when it
-    grows.
+    grows. `fn_full` may carry a precomputed ||f(x + dx)||_inf (the fused
+    Newton kernel computes it in-launch) to skip the residual re-eval.
 
     Unconditional Armijo stalls near tolerance: a Newton step at
     ||f|| ~ 1e-4 decreases the energy by ~||f||^2/K ~ 1e-8, far below the
@@ -513,7 +546,8 @@ def newton_update(xx, f, dx, vmask3, fn_prev, energy_fn, resid_inf,
     energy line search still guards the indefinite large-deformation
     region, where diverging steps DO grow the residual."""
     x_full = xx + dx * vmask3
-    fn_full = resid_inf(x_full)
+    if fn_full is None:
+        fn_full = resid_inf(x_full)
     if not line_search:
         return x_full, fn_full
 
@@ -607,7 +641,8 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
                        line_search: bool = True,
                        load_steps: int | str = 1,
                        return_trace: bool = False,
-                       cg_forcing: str | None = None):
+                       cg_forcing: str | None = None,
+                       return_cg: bool = False):
     """Quasi-static Newton to ||f||_inf <= tol on the lattice (the fast-path
     equivalent of QuasiStaticSim.newton* for lattice-friendly meshes): same
     machinery as step_to_tol with no inertia/predictor. Returns (x, k, fn).
@@ -641,40 +676,74 @@ def quasistatic_to_tol(scene: LatticeScene, x, tol: float = 1e-4,
         return scene.dyn_force(xx, xx, 0.0, use_pallas=pallas,
                                gravity_scale=gs)
 
-    def solve_at(x0, gs):
-        def body(c):
-            xx, k, fn_prev, fmin, eta = c
-            f = resid(xx, gs)
-            if pallas:
-                hvp = scene.elastic_hvp_fn(xx, True)
+    # fused single-launch Newton iteration on small dense grids (see
+    # step_to_tol / ops.pallas_lattice._make_newton_kernel)
+    fused = pallas and scene.boxes is None and plat.fused_pcg_ok(scene.shape)
 
-                def matvec(p):
-                    return (hvp(p) + ctrl[..., None] * p) * vmask3
-            else:
-                _, jvp_fn = jax.linearize(lambda xe: resid(xe, gs), xx)
-                matvec = lambda p: -jvp_fn(p)
-            diag = _hess_diag(scene, xx, pallas) + ctrl[..., None, None] * eye
-            minv = lambda r: ell.solve3x3(diag, r) * vmask3
+    def solve_at(x0, gs):
+        if fused:
+            # affine residual decomposition at this load scale:
+            # f(x) = f_el(u) + s - rc u, u = x - x0
+            rc = mat.control_mag * scene.pin_mask
+            s_aff = mat.control_mag * scene.pin_mask[..., None] \
+                * scene.pin_pos
+            s_aff = s_aff.at[..., 1].add(scene.mass * mat.gravity * gs)
+            s_cf = jnp.transpose(s_aff - rc[..., None] * scene.x0,
+                                 (3, 0, 1, 2))
+
+        def body(c):
+            xx, k, fn_prev, fmin, eta, cg_tot = c
             # cg_forcing="ew": Eisenstat-Walker adaptive inner tolerance
             # (pcg's tol is relative on ||r||^2, hence eta^2)
             tol_rr = eta * eta if cg_forcing == "ew" else cg_tol
-            dx = cgmod.pcg_operator(matvec, minv, f,
-                                    iterations=cg_iterations, tol=tol_rr)
+            fn_full = None
+            if fused:
+                dx_cf, f_cf, fn_full, cg_k = plat.fused_newton(
+                    jnp.transpose(xx - scene.x0, (3, 0, 1, 2)), s_cf,
+                    scene.cell_mask, ctrl, rc, scene.vert_mask,
+                    scene.mesh.dx, mat.lame_mu, mat.lame_la,
+                    iterations=cg_iterations, tol=tol_rr)
+                dx = jnp.transpose(dx_cf, (1, 2, 3, 0))
+                f = jnp.transpose(f_cf, (1, 2, 3, 0))
+            else:
+                f = resid(xx, gs)
+                if pallas:
+                    hvp = scene.elastic_hvp_fn(xx, True)
+
+                    def matvec(p):
+                        return (hvp(p) + ctrl[..., None] * p) * vmask3
+                else:
+                    _, jvp_fn = jax.linearize(lambda xe: resid(xe, gs), xx)
+                    matvec = lambda p: -jvp_fn(p)
+                diag = (_hess_diag(scene, xx, pallas)
+                        + ctrl[..., None, None] * eye)
+                minv = lambda r: ell.solve3x3(diag, r) * vmask3
+                dx, cg_k = cgmod.pcg_operator(matvec, minv, f,
+                                              iterations=cg_iterations,
+                                              tol=tol_rr, return_iters=True)
             xx, fn = newton_update(
                 xx, f, dx, vmask3, fn_prev,
                 lambda xe: scene.total_energy(xe, pallas, gravity_scale=gs),
-                lambda xe: ell.inf_norm(resid(xe, gs)), line_search)
+                lambda xe: ell.inf_norm(resid(xe, gs)), line_search,
+                fn_full=fn_full)
             if cg_forcing == "ew":
                 eta = cgmod.ew_eta(fn, fn_prev)
-            return (xx, k + 1, fn, jnp.minimum(fmin, fn), eta)
+            return (xx, k + 1, fn, jnp.minimum(fmin, fn), eta,
+                    cg_tot + cg_k - 1)
 
         fn0 = ell.inf_norm(resid(x0, gs))
         cond4 = cgmod.newton_cond(tol, max_newton)
-        xo, k, fn, fmin, _ = jax.lax.while_loop(
+        xo, k, fn, fmin, _, cg_tot = jax.lax.while_loop(
             lambda c: cond4(c[:4]), body,
-            (x0, jnp.int32(0), fn0, fn0, jnp.asarray(0.5, x0.dtype)))
-        return xo, k, cgmod.newton_exit_norm(fn, fmin)
+            (x0, jnp.int32(0), fn0, fn0, jnp.asarray(0.5, x0.dtype),
+             jnp.int32(0)))
+        out = xo, k, cgmod.newton_exit_norm(fn, fmin)
+        return out + (cg_tot,) if return_cg else out
 
+    if return_cg:
+        # single-shot only (see lattice_mg.quasistatic_to_tol_mg)
+        assert load_steps == 1 and not return_trace
+        return solve_at(x, 1.0)
     return _run_load_schedule(solve_at, x, tol, max_newton, load_steps,
                               return_trace=return_trace)
 

@@ -24,10 +24,10 @@ run --beam 16,16,64
 run --beam 16,16,256
 run --beam 16,16,512 --max-newton 40
 # quasi-static: the multigrid-vs-single-level regime
-run --quasistatic --solver lattice --beam 16,16,64
-run --quasistatic --solver latmg --beam 16,16,256 --mg-levels 2 --mg-coarse-cg 8
-run --beam 16,16,512 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
-run --beam 16,16,512 --quasistatic --solver lattice
+run --quasistatic --solver lattice --beam 16,16,64 --frames 120
+run --quasistatic --solver latmg --beam 16,16,256 --mg-levels 2 --mg-coarse-cg 8 --frames 120
+run --beam 16,16,512 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8 --frames 120
+run --beam 16,16,512 --quasistatic --solver lattice --frames 120
 # deep-bend cantilever: FMG start + adaptive continuation at the coarsest
 run --beam 16,16,144 --pins zmin --quasistatic --load-steps auto --frames 40
 run --beam 16,16,144 --pins zmin --quasistatic --load-steps auto --frames 40 \
@@ -39,16 +39,16 @@ run --beam 32,32,1024 --max-newton 40 --frames 60
 # reference assets (voxelized OBJs; the lattice auto-permutes the grid so
 # the longest axis lands on the 128-lane dim — see ops/boxes.py)
 if [ -d "$ASSETS" ]; then
-  run --mesh "$ASSETS/kitten.obj" --dx 0.02
-  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --frames 120
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 8 --frames 120
   # tuned kitten MG: Eisenstat-Walker inner forcing + stronger coarse CG +
   # multi-box cover riding the V-cycle's fine matvecs (r4)
-  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 32 --cg-forcing ew
-  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 32 --cg-forcing ew --box-threshold 0.6
-  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver lattice
-  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --box-threshold 0.6 --amortized
-  run --mesh "$ASSETS/horse.obj" --dx 0.02 --amortized
-  run --mesh "$ASSETS/rocker.obj" --dx 0.02 --amortized
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 32 --cg-forcing ew --frames 120
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver latmg --mg-levels 2 --mg-coarse-cg 32 --cg-forcing ew --box-threshold 0.6 --frames 120
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --quasistatic --solver lattice --frames 120
+  run --mesh "$ASSETS/kitten.obj" --dx 0.02 --box-threshold 0.6 --amortized --frames 120
+  run --mesh "$ASSETS/horse.obj" --dx 0.02 --amortized --frames 120
+  run --mesh "$ASSETS/rocker.obj" --dx 0.02 --amortized --frames 120
 fi
 # mass-spring cloth (reference exp1/cloth_simulation 64x64 grid)
 run --cloth 64

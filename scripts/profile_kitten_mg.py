@@ -118,6 +118,24 @@ def main():
     t, _ = timeit(run_linearize, x0p)
     print(f"C linearize (lmax power-it + diag + spd): {t / 10 * 1e3:.3f} ms")
 
+    # -- C2: linearize with the lmax cache (r5: the 6-matvec power iteration
+    # per level per Newton is skipped; quasistatic_to_tol_mg/step_to_tol_mg
+    # now estimate once per stage/frame) ------------------------------------
+    @jax.jit
+    def run_linearize_cached(xp):
+        lmaxes = mg.lmax_cache(xp)
+
+        def body(c, _):
+            ops = mg.linearize(xp + c * 0.0, lmax_cache=lmaxes)
+            s = sum(jnp.sum(o[1]) + (o[3] if o[3] is not None else 0.0)
+                    for o in ops)
+            return c + s * 1e-30, None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=10)
+        return out
+
+    t, _ = timeit(run_linearize_cached, x0p)
+    print(f"C2 linearize (cached lmax, amortized): {t / 10 * 1e3:.3f} ms")
+
     # -- D: full solve with per-Newton PCG iteration counts ------------------
     max_newton = 100
     vmask3 = ls.vert_mask[..., None]
@@ -127,10 +145,12 @@ def main():
 
     @jax.jit
     def solve(x):
+        lmaxes = mg.lmax_cache(pad(x))   # r5 driver behavior
+
         def body(c):
             xx, k, fn_prev, fmin, cg_iters = c
             f = resid(xx)
-            ops = mg.linearize(pad(xx))
+            ops = mg.linearize(pad(xx), lmax_cache=lmaxes)
             dx, it = cgmod.pcg_operator(
                 ops[0][0], lambda r: mg.vcycle(ops, r), pad(f),
                 iterations=args.cg_iterations, tol=args.cg_tol,

@@ -458,3 +458,78 @@ def test_adaptive_substepping_converges_violent_kick():
         assert float(fn) <= 1e-4, "every adaptive frame must converge"
         n_subs.append(int(n_sub))
     assert max(n_subs) > 1, "the kick must engage substepping"
+
+
+def test_fused_pcg_matches_pcg_operator():
+    """ops.pallas_lattice.fused_pcg (one-launch diag + block-Jacobi PCG +
+    stencil HVP megakernel, interpret mode on CPU) == the unfused
+    solvers.cg.pcg_operator path of step_to_tol: same iteration count
+    (pcg_operator's k convention), same solution, zero-RHS no-op. One
+    compiled call signature on purpose — tol is a traced input — because
+    the interpret-mode while_loop compile is the expensive part."""
+    from fem_simulation_tpu.ops import pallas_lattice as plat
+    from fem_simulation_tpu.ops import ell
+    from fem_simulation_tpu.solvers import cg as cgmod
+    sc = LatticeScene(meshlib.beam(3, 3, 5, dx=0.1))
+    assert sc.boxes is None and plat.fused_pcg_ok(sc.shape)
+    rng = np.random.default_rng(7)
+    x = sc.x0 + 0.01 * jnp.asarray(
+        rng.standard_normal(sc.x0.shape).astype(np.float32)) \
+        * sc.vert_mask[..., None]
+    inv_dt = 1.0 / 0.033
+    mat = sc.material
+    ctrl = (mat.control_mag * sc.pin_mask + sc.mass * inv_dt * inv_dt
+            + (1.0 - sc.vert_mask))
+    vmask3 = sc.vert_mask[..., None]
+    f = sc.dyn_force(x, x, inv_dt, use_pallas=False)
+
+    hvp = sc.elastic_hvp_fn(x, False)
+    matvec = lambda p: (hvp(p) + ctrl[..., None] * p) * vmask3
+    diag = sc.elastic_diag(x, False) \
+        + ctrl[..., None, None] * jnp.eye(3, dtype=x.dtype)
+    minv = lambda r: ell.solve3x3(diag, r) * vmask3
+    dx_ref, k_ref = cgmod.pcg_operator(matvec, minv, f, iterations=20,
+                                       tol=1e-2, return_iters=True)
+
+    fused = jax.jit(lambda ff, tol: plat.fused_pcg(
+        jnp.transpose(x - sc.x0, (3, 0, 1, 2)),
+        jnp.transpose(ff, (3, 0, 1, 2)), sc.cell_mask, ctrl, sc.vert_mask,
+        sc.mesh.dx, mat.lame_mu, mat.lame_la, iterations=20, tol=tol))
+    dx_f, k_f = fused(f, 1e-2)
+    dx_f = jnp.transpose(dx_f, (1, 2, 3, 0))
+    assert int(k_f) == int(k_ref)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-6)
+    # zero RHS: the solve is a no-op (scale_back = 0) and exits immediately
+    dx0, k0 = fused(jnp.zeros_like(f), 1e-2)
+    assert float(jnp.max(jnp.abs(dx0))) == 0.0
+    assert int(k0) == 1
+    # tighter traced tol runs more iterations (same compiled program)
+    _, k_tight = fused(f, 1e-6)
+    assert int(k_tight) > int(k_f)
+
+
+def test_mg_lmax_cache_linearize():
+    """LatticeMG.lmax_cache: cached Chebyshev bounds are the per-linearize
+    estimates x the drift margin, linearize(lmax_cache=...) carries them
+    into ops verbatim, and the cached-bound quasi-static MG solve still
+    converges to the uncached equilibrium."""
+    from fem_simulation_tpu.sim.lattice_mg import (LatticeMG,
+                                                   quasistatic_to_tol_mg)
+    sc = LatticeScene(meshlib.beam(3, 3, 7, dx=0.1))
+    mg = LatticeMG(sc, n_levels=2, dt=None)
+    assert mg.chebyshev
+    xp = jnp.pad(sc.x0, [(0, mg.pad_shape[0] - sc.x0.shape[0]),
+                         (0, mg.pad_shape[1] - sc.x0.shape[1]),
+                         (0, mg.pad_shape[2] - sc.x0.shape[2]), (0, 0)])
+    ops_raw = mg.linearize(xp)
+    cache = mg.lmax_cache(xp)
+    np.testing.assert_allclose(
+        np.asarray(cache),
+        np.asarray(jnp.stack([o[3] for o in ops_raw])) * 1.2, rtol=1e-6)
+    ops_cached = mg.linearize(xp, lmax_cache=cache)
+    for li, op in enumerate(ops_cached):
+        assert float(op[3]) == pytest.approx(float(cache[li]))
+    x2, k2, f2 = jax.jit(
+        lambda xx: quasistatic_to_tol_mg(sc, mg, xx, tol=1e-4))(sc.x0)
+    assert float(f2) <= 1e-4
