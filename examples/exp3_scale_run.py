@@ -48,8 +48,18 @@ def main():
                          "residual = train on the implicit-step force "
                          "residual of the prediction (the eval metric) — "
                          "the r3 gap diagnosis ablation")
+    ap.add_argument("--dispatch-chunk", type=int, default=None,
+                    help="training iterations per device dispatch (keep "
+                         "each dispatch under the TPU worker's ~5 min "
+                         "kill, CLAUDE.md). Default 2000 for the mse loss; "
+                         "200 for loss=residual, whose per-iteration cost "
+                         "is ~10x (a full unstructured force eval + grad "
+                         "per sample — the 2000-iter chunk crashed the "
+                         "worker at 21k verts)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.dispatch_chunk is None:
+        args.dispatch_chunk = 200 if args.loss == "residual" else 2000
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "results", "exp3_scale"
@@ -67,7 +77,7 @@ def main():
     tr = SolverNetTrainer(scene, cfg, multilevel=args.multilevel,
                           predict_delta=True)
     t0 = time.time()
-    losses = tr.train(args.iterations)
+    losses = tr.train(args.iterations, dispatch_chunk=args.dispatch_chunk)
     t1 = time.time()
     print(f"train: {args.iterations} iters / {args.frames} frames in "
           f"{t1 - t0:.1f}s (mse {losses[0]:.3e} -> {losses[-1]:.3e})",
